@@ -1,0 +1,64 @@
+"""Scheduler invariants: exact per-host quota under skew, deterministic
+global sequence, and salting correctness (SURVEY.md §5.5)."""
+
+from pyspark.sql import functions as F
+
+from twittercrawler_spark.frontier.scheduler import select_per_host_topk, with_global_sequence
+from twittercrawler_spark.functions.urls import url_hash64
+
+
+def _candidates(spark, n=2000, hot_share=0.5, n_hosts=10):
+    rows = []
+    for i in range(n):
+        host = "hot.com" if i < n * hot_share else f"h{i % n_hosts}.com"
+        url = f"http://{host}/p/{i}"
+        rows.append((url, url_hash64(url), host, url_hash64(host) % 8, f"/p/{i}", float(i % 7), 0))
+    return spark.createDataFrame(
+        rows, ["url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"]
+    )
+
+
+def test_quota_exact_under_skew(spark):
+    cands = _candidates(spark)
+    k = 3
+    sel = select_per_host_topk(cands, k, salt_sub_buckets=8)
+    per_host = {r["host"]: r["n"] for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= k for n in per_host.values())
+    assert per_host["hot.com"] == k  # hot host hits its quota exactly
+
+
+def test_topk_picks_global_best_per_host(spark):
+    """Two-phase top-k must equal single-phase top-k (same selected set)."""
+    from pyspark.sql import Window
+
+    cands = _candidates(spark, n=500)
+    k = 4
+    two_phase = {r["url"] for r in select_per_host_topk(cands, k, salt_sub_buckets=8).collect()}
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), "url_hash", "url")
+    one_phase = {
+        r["url"]
+        for r in cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).collect()
+    }
+    assert two_phase == one_phase
+
+
+def test_global_sequence_dense_and_ordered(spark):
+    cands = _candidates(spark, n=300)
+    sel = select_per_host_topk(cands, 2)
+    seq = with_global_sequence(sel, start_at=10)
+    rows = sorted(
+        ((r["seq"], r["host"], r["host_rank"]) for r in seq.collect())
+    )
+    seqs = [r[0] for r in rows]
+    assert seqs == list(range(11, 11 + len(rows)))
+    # seq order == (host asc, host_rank asc) order
+    assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
+
+
+def test_sequence_stable_across_parallelism(spark):
+    """Same input → same seq mapping regardless of partition count."""
+    cands = _candidates(spark, n=400)
+    sel = select_per_host_topk(cands, 3)
+    a = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(2), 0).collect()}
+    b = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(16), 0).collect()}
+    assert a == b

@@ -1,0 +1,85 @@
+"""Byte-parity of the pure-Python scalars vs their vectorized pandas twins,
+plus golden cases pinning the reference semantics (PreprocessDump.py:84-89,
+Stance_Detection.py:72)."""
+
+import pandas as pd
+import pytest
+
+from twittercrawler_spark.functions.text import (
+    extract_links,
+    extract_text,
+    pd_extract_links,
+    pd_extract_text,
+    pd_preprocess_text,
+    preprocess_text,
+    remove_new_lines,
+    rt_handle,
+)
+
+GOLDEN = [
+    # single-pass double-space: NOT a fixpoint (reference contract)
+    ("a   b", "a  b"),
+    ("a  b", "a b"),
+    ("  lead and trail  ", "lead and trail"),
+    # \r and \t become two spaces, then the single double-space pass merges
+    ("line1\nline2\r\tend", "line1 line2 end"),
+    ("tab\there", "tab here"),
+    ("", ""),
+    ("\n\n", ""),  # "\n\n"→"  "→" "→strip→""
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN)
+def test_preprocess_text_golden(raw, expected):
+    assert preprocess_text(raw) == expected
+
+
+def test_preprocess_text_pandas_twin():
+    s = pd.Series([g[0] for g in GOLDEN] + ["x \r\n y", "a\t\tb", " " * 5])
+    out = pd_preprocess_text(s)
+    for raw, got in zip(s, out):
+        assert got == preprocess_text(raw), raw
+
+
+def test_remove_new_lines_stringifies():
+    assert remove_new_lines(None) == "None"
+    assert remove_new_lines("a\nb") == "a b"
+    assert remove_new_lines(5) == "5"
+
+
+HTML_CASES = [
+    b"<html><head><title>T</title><script>var x=1;\nif(x<2){}</script></head>"
+    b"<body><p>hello\nworld</p><a href='http://A.com/x'>l</a></body></html>",
+    b"<body>a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;</body>",
+    b"<style>p { color: red }</style><p>only   text\t\tremains</p>",
+    b"no tags at all",
+    b"<a href=\"/rel/path\">r</a><a href='http://b.co:80/p?b=1&a=2#f'>x</a>",
+]
+
+
+def test_extract_text_twins_agree():
+    s = pd.Series(HTML_CASES)
+    out = pd_extract_text(s)
+    for raw, got in zip(HTML_CASES, out):
+        assert got == extract_text(raw)
+
+
+def test_extract_text_golden():
+    assert extract_text(HTML_CASES[0]) == "T hello world l"
+    # &amp;lt; decodes ONE level (amp last): "&lt;"
+    assert extract_text(HTML_CASES[1]) == 'a &lt; b <tag> "q" \'s\''
+    assert extract_text(HTML_CASES[2]) == "only text remains"
+
+
+def test_extract_links_twins_agree():
+    s = pd.Series(HTML_CASES)
+    out = pd_extract_links(s)
+    for raw, got in zip(HTML_CASES, out):
+        assert list(got) == extract_links(raw)
+    assert extract_links(HTML_CASES[4]) == ["/rel/path", "http://b.co:80/p?b=1&a=2#f"]
+
+
+def test_rt_handle_reference_semantics():
+    assert rt_handle("RT @alice: hello") == "alice"
+    assert rt_handle("no handle here") is None
+    assert rt_handle("x @bob: y @carol: z") == "bob"

@@ -1,0 +1,77 @@
+"""Canonicalization spec golden cases + hash parity (Python vs Spark SQL)."""
+
+import pandas as pd
+import pytest
+
+from twittercrawler_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    pd_canonicalize,
+    spark_url_hash64,
+    url_hash64,
+)
+
+CASES = [
+    ("HTTP://Example.COM/path", None, "http://example.com/path"),
+    ("http://example.com:80/p", None, "http://example.com/p"),
+    ("https://example.com:443/p", None, "https://example.com/p"),
+    ("http://example.com:8080/p", None, "http://example.com:8080/p"),
+    ("http://example.com/p#frag", None, "http://example.com/p"),
+    ("http://example.com", None, "http://example.com/"),
+    ("http://example.com/p?b=2&a=1", None, "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?b=2&a=1&a=0", None, "http://example.com/p?a=0&a=1&b=2"),
+    ("/rel", "http://example.com/dir/page", "http://example.com/rel"),
+    ("sub", "http://example.com/dir/page", "http://example.com/dir/sub"),
+    ("ftp://example.com/x", None, None),
+    ("mailto:x@y.com", None, None),
+    ("not a url", None, None),
+]
+
+
+@pytest.mark.parametrize("raw,base,expected", CASES)
+def test_canonicalize_golden(raw, base, expected):
+    assert canonicalize_url(raw, base) == expected
+
+
+def test_pd_canonicalize_twin():
+    raws = pd.Series([c[0] for c in CASES])
+    bases = pd.Series([c[1] if c[1] else "http://fallback.example/" for c in CASES])
+    # without base
+    out = pd_canonicalize(raws)
+    for (raw, base, _), got in zip(CASES, out):
+        assert got == canonicalize_url(raw)
+    # with base
+    out = pd_canonicalize(raws, bases)
+    for (raw, base, _), got in zip(CASES, out):
+        assert got == canonicalize_url(raw, base if base else "http://fallback.example/")
+
+
+def test_host_of():
+    assert host_of("http://example.com:8080/p") == "example.com:8080"
+    assert host_of("http://example.com/p") == "example.com"
+
+
+def test_url_hash64_range():
+    h = url_hash64("http://example.com/")
+    assert 0 <= h < 2**60
+
+
+def test_url_hash64_spark_parity(spark):
+    urls = [c[2] for c in CASES if c[2]]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["url"]: r["h"] for r in df.select("url", spark_url_hash64("url").alias("h")).collect()}
+    for u in urls:
+        assert got[u] == url_hash64(u), u
+
+
+def test_url_hash64_duckdb_parity():
+    import duckdb
+
+    urls = [c[2] for c in CASES if c[2]]
+    rel = duckdb.sql(
+        "SELECT url, ('0x' || substring(md5(url), 1, 15))::BIGINT AS h "
+        "FROM (SELECT unnest($urls) AS url)",
+        params={"urls": urls},
+    ).fetchall()
+    for u, h in rel:
+        assert h == url_hash64(u), u

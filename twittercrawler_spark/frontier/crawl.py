@@ -1,0 +1,253 @@
+"""The distributed crawl: bootstrap + per-round iterative DataFrame jobs.
+
+One normative spec, two implementations: this module (distributed, Spark)
+and frontier/simulator.py (sequential, pure Python). Parity tests assert
+identical fetch order, seen-set membership, and text bytes.
+
+Graft map (SURVEY.md §7.1):
+  reference fixed-order fetch loop (pages/Crawler.py:53-153)
+      → round loop of DataFrame jobs, order computed as data
+  Redis/list seen probe (Cansin_Location_Detection.py:107-117)
+      → Bloom-prefiltered exact left_anti join (frontier/seen.py)
+  saving_period flush / iteration JSON dumps (Crawler.py:127;
+  Stance_Detection.py:318-323)
+      → atomic per-round warehouse commits, exact resume
+  per-row text normalization (PreprocessDump.py:84-89)
+      → Arrow-batched pandas UDF HTML→text, byte-identical
+  RT-handle extraction (Stance_Detection.py:72)
+      → href extraction UDF + explode → frontier candidates
+
+Scale notes (100 TB / 10^10-URL design intent, tested at local scale):
+  * all joins/aggregations key on canonical url or (host, …); the hot-host
+    skew is bounded by the scheduler's two-phase top-k and by salted
+    host_bucket partitioning of the seen/frontier tables;
+  * robots is a broadcast join (dimension-sized);
+  * the only Python crossings are the four pandas UDFs (canonicalize ×2,
+    extract_text, extract_links) and the Bloom probe;
+  * per-round state lives in committed tables, never in DataFrame lineage
+    (no iterative lineage blowup);
+  * per-partition lineage: per-host_bucket row counts for every stage are
+    recorded in the metrics table and the commit manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    udf_canonicalize,
+    udf_canonicalize_rel,
+    udf_extract_links,
+    udf_extract_text,
+    udf_host,
+)
+from ..functions.urls import spark_url_hash64
+from ..sources.tables import Warehouse
+from .scheduler import select_per_host_topk, with_global_sequence
+from .seen import build_bloom_sidecar, filter_unseen
+from .simulator import CrawlConfig
+
+_PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
+
+
+def _with_url_cols(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Add url_hash/host/host_bucket/path derived from canonical ``url``."""
+    return (
+        df.withColumn("url_hash", spark_url_hash64("url"))
+        .withColumn("host", udf_host(F.col("url")))
+        .withColumn("host_bucket", F.pmod(F.col("url_hash"), F.lit(num_buckets)).cast("int"))
+        .withColumn("path", F.regexp_extract("url", _PATH_RE, 1))
+    )
+
+
+def bootstrap(
+    spark: SparkSession,
+    wh: Warehouse,
+    pages_path: str,
+    seeds_path: str,
+    robots_path: str,
+    cfg: CrawlConfig,
+) -> None:
+    """Round 0: canonicalized page corpus + seeded frontier + robots dim."""
+    raw = spark.read.parquet(pages_path)
+    canon = (
+        raw.withColumn("url_raw", F.col("url"))
+        .withColumn("url", udf_canonicalize(F.col("url")))
+        .filter(F.col("url").isNotNull())
+        .withColumn("extracted_text", udf_extract_text(F.col("html")))
+        .withColumn("links", udf_extract_links(F.col("html")))
+        .drop("html")
+    )
+    # defensive dedup if two raw spellings canonicalize identically: keep the
+    # earliest (warc_ts, url_raw) — a computed rule, not task order
+    w = Window.partitionBy("url").orderBy("warc_ts", "url_raw")
+    canon = (
+        canon.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    canon = _with_url_cols(canon, cfg.num_buckets)
+    # cluster the corpus by host_bucket so per-round fetch joins and seen
+    # probes co-locate (the Iceberg partition-spec analog)
+    canon = canon.repartition(cfg.num_buckets, "host_bucket")
+    wh.write("pages_canon", canon, 0)
+
+    seeds = (
+        spark.read.parquet(seeds_path)
+        .withColumn("url", udf_canonicalize(F.col("url")))
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.max("priority").alias("priority"))
+        .withColumn("discovered_round", F.lit(0))
+    )
+    seeds = _with_url_cols(seeds, cfg.num_buckets)
+    wh.write("frontier", seeds.select(
+        "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
+    ), 0)
+
+    robots = spark.read.parquet(robots_path)
+    wh.write("robots", robots, 0)
+    wh.commit(0, {"seq_end": 0, "cfg": cfg.__dict__})
+
+
+def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) -> bool:
+    """Execute round ``rnd``; returns False when the frontier is exhausted."""
+    pending = wh.read_round(spark, "frontier", rnd - 1)
+    if pending is None:
+        return False
+    pending = pending.drop("round")
+    if pending.head(1) == []:
+        return False
+    prev = wh.round_info(rnd - 1) or {}
+    seq_start = int(prev.get("metrics", {}).get("seq_end", 0))
+
+    robots = wh.read_round(spark, "robots", 0).drop("round")
+    pages = wh.read_round(spark, "pages_canon", 0).drop("round")
+
+    # robots gate: drop candidates whose path starts with any disallowed
+    # prefix for the host (broadcast anti-join; P6/master-pinning analog)
+    c, rb = pending.alias("c"), F.broadcast(robots).alias("rb")
+    gated = c.join(
+        rb,
+        (F.col("c.host") == F.col("rb.host"))
+        & F.col("c.path").startswith(F.col("rb.disallow_prefix")),
+        "left_anti",
+    )
+    gated = gated.localCheckpoint(eager=False)
+
+    # politeness selection + deterministic global fetch order
+    selected = select_per_host_topk(gated, cfg.per_host_per_round, cfg.salt_sub_buckets)
+    selected = with_global_sequence(selected, seq_start)
+    selected = selected.localCheckpoint(eager=True)
+    n_selected = selected.count()
+    if n_selected == 0:
+        wh.write("frontier", gated.limit(0), rnd)
+        wh.commit(rnd, {"seq_end": seq_start, "fetched": 0, "exhausted": True})
+        return False
+
+    # "fetch": join the scheduled slice against the page corpus
+    fetched = selected.join(
+        pages.select("url", F.col("extracted_text").alias("text"), "links", "lang"),
+        "url",
+        "left",
+    ).withColumn("status", F.when(F.col("text").isNull(), "missing").otherwise("ok"))
+    fetched = fetched.localCheckpoint(eager=True)
+
+    wh.write(
+        "fetch_log",
+        fetched.select("seq", "url", "host", "host_bucket", "status", "text", "lang")
+        .repartition(cfg.num_buckets, "host_bucket")
+        .sortWithinPartitions("seq"),
+        rnd,
+    )
+    wh.write("seen", selected.select("url", "url_hash", "host_bucket"), rnd)
+
+    # expand: out-links → canonicalize vs base → max child priority per url
+    links = (
+        fetched.filter(F.col("status") == "ok")
+        .select(
+            F.explode("links").alias("href"),
+            F.col("url").alias("base_url"),
+            (F.col("priority") * cfg.priority_decay).alias("child_priority"),
+        )
+        .withColumn("url", udf_canonicalize_rel(F.col("href"), F.col("base_url")))
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.max("child_priority").alias("priority"))
+    )
+    links = _with_url_cols(links, cfg.num_buckets)
+
+    # dedup: not fetched this round, not in prior seen (Bloom prefilter +
+    # exact anti-join), not already pending
+    links = links.join(selected.select("url"), "url", "left_anti")
+    seen_prior = wh.read(spark, "seen", upto=rnd - 1)
+    sidecar = build_bloom_sidecar(seen_prior) if seen_prior is not None else None
+    links = filter_unseen(spark, links, seen_prior, sidecar)
+    remaining = gated.join(selected.select("url"), "url", "left_anti")
+    links = links.join(remaining.select("url"), "url", "left_anti")
+    new_pending = links.withColumn("discovered_round", F.lit(rnd)).select(
+        "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
+    )
+
+    frontier_next = remaining.select(
+        "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
+    ).unionByName(new_pending)
+    frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
+    frontier_next = frontier_next.localCheckpoint(eager=True)
+    wh.write("frontier", frontier_next, rnd)
+
+    # per-partition lineage metrics (north rule): per-host_bucket counts at
+    # each stage of this round
+    stages = {
+        "candidates": pending,
+        "selected": selected,
+        "new_links": new_pending,
+        "frontier_next": frontier_next,
+    }
+    metric_rows = None
+    for stage, df in stages.items():
+        m = df.groupBy("host_bucket").agg(F.count("*").alias("n")).withColumn(
+            "stage", F.lit(stage)
+        )
+        metric_rows = m if metric_rows is None else metric_rows.unionByName(m)
+    wh.write("metrics", metric_rows, rnd)
+
+    n_new = new_pending.count()
+    wh.commit(
+        rnd,
+        {
+            "seq_end": seq_start + n_selected,
+            "fetched": n_selected,
+            "new_links": n_new,
+            "frontier_size": frontier_next.count(),
+        },
+    )
+    return True
+
+
+def run_crawl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    pages_path: str,
+    seeds_path: str,
+    robots_path: str,
+    cfg: CrawlConfig | None = None,
+) -> Warehouse:
+    """Bootstrap if needed, then run/resume rounds 1..cfg.rounds."""
+    cfg = cfg or CrawlConfig()
+    wh = Warehouse(warehouse_dir)
+    last = wh.last_round()
+    if last is None:
+        bootstrap(spark, wh, pages_path, seeds_path, robots_path, cfg)
+        last = 0
+    for rnd in range(last + 1, cfg.rounds + 1):
+        if not run_round(spark, wh, cfg, rnd):
+            break
+    return wh
+
+
+def fetch_log(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """All committed fetch-log rows ordered by seq (round from partition dir)."""
+    df = wh.read(spark, "fetch_log")
+    if df is None:
+        raise ValueError("no committed fetch_log")
+    return df.orderBy("seq")

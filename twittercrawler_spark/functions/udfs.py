@@ -1,0 +1,52 @@
+"""Arrow-batched pandas UDFs wrapping the parity twins in text.py / urls.py.
+
+These are the ONLY Python↔JVM crossings in the crawl pipeline (input_hint:
+"vectorized pandas/Arrow UDFs, no per-row Python"). Everything else —
+filtering, joins, windows, hashing, bucketing — stays JVM-side in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import pd_extract_links, pd_extract_text, pd_preprocess_text
+from .urls import pd_canonicalize, pd_host
+
+
+@F.pandas_udf(T.StringType())
+def udf_extract_text(html: pd.Series) -> pd.Series:
+    """HTML(binary) → normalized text; byte-identical to the simulator."""
+    return pd_extract_text(html)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def udf_extract_links(html: pd.Series) -> pd.Series:
+    """HTML(binary) → list of raw href strings in document order."""
+    return pd_extract_links(html)
+
+
+@F.pandas_udf(T.StringType())
+def udf_canonicalize(url: pd.Series) -> pd.Series:
+    """Absolute URL → canonical form (None for non-http(s))."""
+    return pd_canonicalize(url)
+
+
+@F.pandas_udf(T.StringType())
+def udf_canonicalize_rel(url: pd.Series, base: pd.Series) -> pd.Series:
+    """(possibly-relative href, base URL) → canonical absolute form."""
+    return pd_canonicalize(url, base)
+
+
+@F.pandas_udf(T.StringType())
+def udf_host(canonical_url: pd.Series) -> pd.Series:
+    """Canonical URL → netloc."""
+    return pd_host(canonical_url)
+
+
+@F.pandas_udf(T.StringType())
+def udf_preprocess_text(text: pd.Series) -> pd.Series:
+    """The reference's single-pass whitespace chain (PreprocessDump.py:84-86)."""
+    return pd_preprocess_text(text)
