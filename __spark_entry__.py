@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline; ``queries``/``oracle_sql`` expose the
+full operator inventory (SURVEY.md §2 + dedup/similarity/text-analysis/
+multimodal suites + crawl-engine outputs) for the driver's DuckDB
+correctness comparison at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from twittercrawler_spark.analytics import ALL_ORACLES, ALL_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the distributed crawl's parity-critical fetch order.
+
+    Runs the full frontier pipeline (bootstrap → politeness-scheduled
+    rounds → seen-set dedup → extraction) on the deterministic synthetic
+    corpus and returns the committed global fetch sequence.
+    """
+    return ALL_QUERIES["crawl_fetch_order"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; crawl/* and multimodal_decode are deliberately absent
+    (iterative/stateful or pandas-UDF ops → driver rows-only check; their
+    strong gate is tests/test_crawl_parity.py)."""
+    return dict(ALL_ORACLES)

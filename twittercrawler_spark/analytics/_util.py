@@ -1,0 +1,74 @@
+"""Shared helpers for the analytics query suite.
+
+Every query in this package is a pair (Spark DataFrame program, ANSI-SQL
+oracle) with IDENTICAL column names and deterministic values, so the driver's
+order-insensitive value-hash comparison (row-count + schema + values) passes.
+
+Cross-engine determinism rules used throughout:
+* money/quantity aggregation is done in DECIMAL(12,2) (exact in both Spark
+  and DuckDB) and only cast to DOUBLE at the end;
+* every derived DOUBLE is ``round(x, 6)`` (or coarser) in BOTH engines;
+* every top-k / first-match is a ``row_number`` over a TOTAL order (explicit
+  tie-breaks on a unique key) — never engine task order;
+* the shared 32-bit base hash is ``conv(substr(md5(s),1,8),16,10)`` (Spark)
+  == ``CAST('0x' || substr(md5(s),1,8) AS BIGINT)`` (DuckDB): verified equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from the driver-provided sf directory."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: str | F.Column, prec: str = "decimal(12,2)") -> F.Column:
+    """Exact-decimal view of a money/quantity column (same cast in oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(prec)
+
+
+def dbl6(c: F.Column) -> F.Column:
+    """Final double, rounded to 6 so float noise can't flip the value hash."""
+    return F.round(c.cast("double"), 6)
+
+
+# Shared 32-bit base hash H(s) in [0, 2^32). Spark side; the oracle twin is
+# CAST('0x' || substr(md5(s),1,8) AS BIGINT).
+def base_hash32(c: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+BASE_HASH32_SQL = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+
+def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct n-word shingles of lower-cased whitespace-tokenized text.
+
+    1-based ``element_at`` indexing mirrors the oracle's 1-based list
+    subscripts exactly. Guarded so texts with < n tokens yield [].
+    """
+    w = F.split(F.lower(text_col), r"\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+# DuckDB twin of word_shingles (as a CTE body over documents): produces
+# (doc_id, s) DISTINCT rows. len(w)>=3 guard via greatest().
+SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents) d,
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)
+"""

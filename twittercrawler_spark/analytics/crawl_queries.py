@@ -1,0 +1,99 @@
+"""Crawl-engine queries for the driver contract (rows-only checks).
+
+The crawl frontier is the engine's flagship (SURVEY.md §7.2): these entries
+expose its committed outputs as ``queries()`` DataFrames. They are
+deliberately NOT given SQL oracles — the crawl is an iterative stateful job
+(scheduler + seen-set + politeness), not a single SQL expression; its
+correctness gate is the pure-Python reference simulator parity suite
+(tests/test_crawl_parity.py: identical fetch order, seen membership, and
+byte-identical text), which is stronger than a SQL twin.
+
+The corpus and the crawl run are content-deterministic (seed=42, no wall
+clock), cached under a parameter-keyed temp directory so repeated driver
+invocations reuse the committed warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frontier.crawl import run_crawl
+from ..frontier.simulator import CrawlConfig
+from ..sources.corpus import generate_corpus
+from ..sources.tables import Warehouse
+
+N_PAGES = 400
+N_HOSTS = 12
+N_SEEDS = 6
+ROUNDS = 4
+_PARAM_KEY = f"p{N_PAGES}h{N_HOSTS}s{N_SEEDS}r{ROUNDS}v2"
+
+
+def _cache_root() -> str:
+    d = os.path.join(tempfile.gettempdir(), f"tcspark_cache_{_PARAM_KEY}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _crawled_warehouse(spark: SparkSession) -> Warehouse:
+    root = _cache_root()
+    corpus = os.path.join(root, "corpus")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        generate_corpus(corpus, n_pages=N_PAGES, n_hosts=N_HOSTS, n_seeds=N_SEEDS, seed=42)
+    cfg = CrawlConfig(rounds=ROUNDS)
+    wh_dir = os.path.join(root, "warehouse")
+    return run_crawl(
+        spark,
+        wh_dir,
+        os.path.join(corpus, "pages.parquet"),
+        os.path.join(corpus, "seeds.parquet"),
+        os.path.join(corpus, "robots.parquet"),
+        cfg,
+    )
+
+
+def crawl_fetch_order(spark: SparkSession, sf: str) -> DataFrame:
+    """The parity-critical artifact: global fetch sequence (W1/W2)."""
+    wh = _crawled_warehouse(spark)
+    df = wh.read(spark, "fetch_log")
+    return df.select("seq", "url", "host", "status", "round").orderBy("seq")
+
+
+def crawl_seen_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Final URL-seen membership (J8 analog), sorted for stable output."""
+    wh = _crawled_warehouse(spark)
+    df = wh.read(spark, "seen")
+    return df.select("url", "url_hash").orderBy("url_hash")
+
+
+def crawl_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition lineage: per-host_bucket stage counts per round."""
+    wh = _crawled_warehouse(spark)
+    df = wh.read(spark, "metrics")
+    return df.select("round", "stage", "host_bucket", "n").orderBy(
+        "round", "stage", "host_bucket"
+    )
+
+
+def crawl_extracted_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-identical extracted text per fetched url (F2 contract)."""
+    wh = _crawled_warehouse(spark)
+    df = wh.read(spark, "fetch_log")
+    return (
+        df.filter(F.col("status") == "ok")
+        .select("url", F.md5("text").alias("text_md5"))
+        .orderBy("url")
+    )
+
+
+QUERIES = {
+    "crawl_fetch_order": crawl_fetch_order,
+    "crawl_seen_set": crawl_seen_set,
+    "crawl_metrics": crawl_metrics,
+    "crawl_extracted_text": crawl_extracted_text,
+}
+ORACLES: dict = {}

@@ -1,0 +1,356 @@
+"""Deduplication suite over the documents table — the training-data-pipeline
+core: exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+These generalize the reference's only dedup primitive — the seen-set
+membership probe (`/root/reference/pages/Preprocess_scripts/
+GenerateUserUseridDict.py:53-56`, `Cansin_Location_Detection.py:107-117`) —
+to content-level near-duplicate detection at corpus scale.
+
+Cross-engine determinism: every hash is the shared 32-bit md5-prefix base
+hash (see _util), every float is computed by the same sequential fold and
+rounded, every arithmetic step is integer where possible. The Spark program
+and the DuckDB oracle are the SAME algorithm, so the driver's value-hash
+comparison is exact.
+
+Scale design (the 100 TB story — LSH exists precisely so the O(n²) pair
+space is never materialized):
+* MinHash-LSH: candidates come from an equi-join on (band, signature) —
+  shuffle keyed on band signatures, output ∝ true-near-dup pairs, never n².
+* SimHash: pigeonhole chunk join — pairs within hamming≤3 of a 32-bit
+  fingerprint must share one of 4 byte chunks, so candidates come from an
+  equi-join on (chunk_idx, chunk_value).
+* exact dedup: hash-groupBy, map-side combinable.
+* brute-force Jaccard is included ONLY as the small-scale oracle shape; the
+  LSH paths are the ones that survive 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import SHINGLES_SQL, base_hash32, t, word_shingles
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+MINHASH_K = 32
+MINHASH_BAND = 4  # rows per band -> 8 bands
+MERSENNE_P = 2147483647
+JACCARD_T = 0.7
+NEAR_JACCARD_T = 0.8
+SIMHASH_HAMMING_T = 3
+COSINE_T = 0.4
+
+
+def q(name: str, sql: str | None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+def _shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, s, h): distinct word-3gram shingles + shared 32-bit hash."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .withColumn("h", base_hash32(F.col("s")))
+    )
+
+
+_HS_SQL = f"""
+sh AS ({SHINGLES_SQL}),
+hs AS (SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groupBy; every doc mapped to the canonical
+# (minimum) doc_id of its identical-text group.
+@q(
+    "dedup_exact",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+    c AS (SELECT hh, min(doc_id) AS canon_id FROM h GROUP BY 1)
+    SELECT doc_id, canon_id FROM h JOIN c USING (hh)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", F.md5("text").alias("hh"))
+    c = d.groupBy("hh").agg(F.min("doc_id").alias("canon_id"))
+    return d.join(c, "hh").select("doc_id", "canon_id")
+
+
+# ---------------------------------------------------------------------------
+# Brute-force n-gram Jaccard pairs (the small-scale oracle shape; LSH below
+# is the scale path). Inner-join on shingle → intersection counts: the pair
+# space is bounded by shared-shingle pairs, not n².
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_HS_SQL},
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS x, b.doc_id AS y, CAST(count(*) AS BIGINT) AS c
+      FROM hs a JOIN hs b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT x, y,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+    FROM inter JOIN sz sa ON x = sa.doc_id JOIN sz sb ON y = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEAR_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # shingle set reused by 3 sub-plans → materialize once
+    hs = _shingle_hashes(spark, sf).select("doc_id", "s").persist()
+    sz = hs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = hs.select(F.col("doc_id").alias("x"), "s")
+    b = hs.select(F.col("doc_id").alias("y"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("x"), F.col("n").alias("na")), "x")
+        .join(sz.select(F.col("doc_id").alias("y"), F.col("n").alias("nb")), "y")
+        .filter(jac >= NEAR_JACCARD_T)
+        .select("x", "y", F.round(jac, 6).alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: k=32 universal-hash minima, 8 bands × 4 rows;
+# candidate pairs share a (band, signature) bucket; candidates verified with
+# exact Jaccard. Permutations h_i(x) = (a_i·x + b_i) mod p, a_i = 2i+1,
+# b_i = 1000003·i mod p — all integer, identical in both engines.
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_HS_SQL},
+    params AS (
+      SELECT i, CAST(2 * i + 1 AS BIGINT) AS a,
+             CAST((1000003 * i) % {MERSENNE_P} AS BIGINT) AS b
+      FROM unnest(generate_series(1, {MINHASH_K})) AS g(i)),
+    mh AS (
+      SELECT doc_id, i, min((a * h + b) % {MERSENNE_P}) AS m
+      FROM hs CROSS JOIN params GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor((i - 1) / {MINHASH_BAND}.0) AS BIGINT) AS band,
+             array_to_string(list(m ORDER BY i), '-') AS sig
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY 1),
+    inter AS (
+      SELECT c.x, c.y, CAST(count(*) AS BIGINT) AS c
+      FROM cand c JOIN hs a ON a.doc_id = c.x
+                  JOIN hs b ON b.doc_id = c.y AND a.s = b.s
+      GROUP BY 1, 2)
+    SELECT x, y, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+    FROM inter JOIN sz sa ON x = sa.doc_id JOIN sz sb ON y = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # shingle hashes feed the signature build AND the verify join → persist
+    hs = _shingle_hashes(spark, sf).persist()
+    params = F.broadcast(
+        spark.range(1, MINHASH_K + 1)
+        .select(
+            F.col("id").cast("int").alias("i"),
+            (2 * F.col("id") + 1).cast("bigint").alias("a"),
+            ((1000003 * F.col("id")) % MERSENNE_P).cast("bigint").alias("b"),
+        )
+    )
+    mh = (
+        hs.crossJoin(params)
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P).alias("m"))
+    )
+    bands = (
+        mh.withColumn(
+            "band", F.floor((F.col("i") - 1) / float(MINHASH_BAND)).cast("bigint")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda x: x["m"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    ba = bands.select(F.col("doc_id").alias("x"), "band", "sig")
+    bb = bands.select(F.col("doc_id").alias("y"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    sz = hs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ha = hs.select(F.col("doc_id").alias("x"), "s")
+    hb = hs.select(F.col("doc_id").alias("y"), "s")
+    inter = (
+        cand.join(ha, "x").join(hb, ["y", "s"]).groupBy("x", "y").agg(
+            F.count("*").alias("c")
+        )
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("x"), F.col("n").alias("na")), "x")
+        .join(sz.select(F.col("doc_id").alias("y"), F.col("n").alias("nb")), "y")
+        .filter(jac >= JACCARD_T)
+        .select("x", "y", F.round(jac, 6).alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit fingerprint from distinct-token hashes; near-dup pairs via
+# pigeonhole byte-chunk equi-join (hamming ≤ 3 over 4 chunks ⇒ one chunk
+# equal), verified by bit_count(xor).
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tk FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+        FROM documents) u
+      WHERE tk <> ''),
+    th AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS ssum
+      FROM th CROSS JOIN unnest(generate_series(0, 31)) AS g(j)
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ssum > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS f
+      FROM bits GROUP BY 1),
+    ch AS (
+      SELECT doc_id, f, k, (f >> (k * 8)) & 255 AS chunk
+      FROM fp CROSS JOIN unnest(generate_series(0, 3)) AS g(k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS x, a.f AS fx, b.doc_id AS y, b.f AS fy
+      FROM ch a JOIN ch b
+        ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT x, y, CAST(bit_count(xor(fx, fy)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fx, fy)) <= {SIMHASH_HAMMING_T}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .distinct()
+    )
+    th = tok.select("doc_id", base_hash32(F.col("tk")).alias("h"))
+    js = F.broadcast(spark.range(0, 32).select(F.col("id").cast("int").alias("j")))
+    bits = (
+        th.crossJoin(js)
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
+            ).alias("ssum")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("ssum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("f")
+    )
+    ks = F.broadcast(spark.range(0, 4).select(F.col("id").cast("int").alias("k")))
+    ch = fp.crossJoin(ks).select(
+        "doc_id", "f", "k", F.expr("(f >> (k * 8)) & 255").alias("chunk")
+    )
+    ca = ch.select(F.col("doc_id").alias("x"), F.col("f").alias("fx"), "k", "chunk")
+    cb = ch.select(F.col("doc_id").alias("y"), F.col("f").alias("fy"), "k", "chunk")
+    cand = (
+        ca.join(cb, ["k", "chunk"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "fx", "y", "fy")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fx ^ fy"))
+    return cand.filter(hamming <= SIMHASH_HAMMING_T).select(
+        "x", "y", hamming.cast("bigint").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact sequential-fold cosine (identical fold in
+# both engines → identical bits), threshold on the shared value.
+_COS_SQL = """
+      list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (s, u) -> s + u) /
+      (sqrt(list_reduce(list_transform(a.v, x -> x * x), (s, u) -> s + u)) *
+       sqrt(list_reduce(list_transform(b.v, x -> x * x), (s, u) -> s + u)))
+"""
+
+
+def _cos_cols(va: F.Column, vb: F.Column) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda s, u: s + u
+    )
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda s, u: s + u))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda s, u: s + u))
+    return dot / (na * nb)
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS x, b.vec_id AS y,
+           round({_COS_SQL}, 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= {COSINE_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    # Higher-order-function folds are interpreted (not codegen'd): keep the
+    # per-pair work to ONE dot-product fold by precomputing norms per vector
+    # and materializing the cosine column once before filter + round.
+    e = _emb(spark, sf).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, u: s + u
+            )
+        ),
+    )
+    a = e.select(F.col("vec_id").alias("x"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("y"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, u: s + u
+    )
+    return (
+        a.join(b, F.col("x") < F.col("y"))
+        .withColumn("sim_raw", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim_raw") >= COSINE_T)
+        .select("x", "y", F.round("sim_raw", 6).alias("sim"))
+    )

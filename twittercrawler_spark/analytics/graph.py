@@ -1,0 +1,144 @@
+"""Iterative label propagation (SURVEY.md §2 J5+A7+A8+A15, §3.3).
+
+Re-creates the reference's stance-propagation loop
+(`/root/reference/pages/Postprocess_scripts/Stance_Detection.py:119-233`):
+seeded labels propagate over an edge list; each round a node adopts the
+majority label among its labeled neighbors iff the top count beats the
+runner-up by a margin (getStance, Stance_Detection.py:164-202), and seed
+("master") nodes are pinned (Stance_Detection.py:57-61,92-93).
+
+Graph here: suppliers are nodes; an edge connects suppliers that co-occur in
+an order (derived deterministically from lineitem). The driver loop + the
+join→groupBy→top-2-window→update round is EXACTLY the frontier-expansion
+shape (SURVEY.md §3.3); state lives in a checkpointed DataFrame per round,
+never in growing lineage.
+
+The oracle is the same fixpoint UNROLLED as nested SQL CTEs — one block per
+round — so DuckDB verifies every intermediate rule exactly.
+
+Scale: edges shuffle once per round on dst (hash join with the label table,
+which is node-sized); label state is node-sized. At 10^10 edges the same
+plan holds with the label table bucketed on node — noted in BENCH notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_ROUNDS = 3
+MARGIN = 1
+
+_BASE_SQL = """
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+r0 AS (
+  SELECT node,
+         CASE WHEN node % 10 = 0 THEN 'L' || CAST(node % 3 AS VARCHAR)
+              ELSE 'Unknown' END AS label,
+         node % 10 = 0 AS is_seed
+  FROM nodes)
+"""
+
+_ROUND_SQL = """
+v{r} AS (
+  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM edges e JOIN r{p} l ON e.dst = l.node
+  WHERE l.label <> 'Unknown'
+  GROUP BY 1, 2),
+t{r} AS (
+  SELECT node, label, n,
+         row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+  FROM v{r}),
+r{r} AS (
+  SELECT p.node,
+         CASE WHEN p.is_seed THEN p.label
+              WHEN a.n - coalesce(b.n, 0) >= {margin} THEN a.label
+              ELSE 'Unknown' END AS label,
+         p.is_seed
+  FROM r{p} p
+  LEFT JOIN t{r} a ON p.node = a.node AND a.rk = 1
+  LEFT JOIN t{r} b ON p.node = b.node AND b.rk = 2)
+"""
+
+
+def label_propagation_oracle_sql(rounds: int = N_ROUNDS, margin: int = MARGIN) -> str:
+    parts = [_BASE_SQL]
+    for r in range(1, rounds + 1):
+        parts.append(_ROUND_SQL.format(r=r, p=r - 1, margin=margin))
+    return "WITH " + ",".join(parts) + f"\nSELECT node, label FROM r{rounds}"
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def label_propagation(
+    spark: SparkSession, sf: str, rounds: int = N_ROUNDS, margin: int = MARGIN
+) -> DataFrame:
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    labels = sup.select(
+        F.col("s_suppkey").alias("node"),
+        F.when(
+            F.col("s_suppkey") % 10 == 0,
+            F.concat(F.lit("L"), (F.col("s_suppkey") % 3).cast("string")),
+        )
+        .otherwise("Unknown")
+        .alias("label"),
+        (F.col("s_suppkey") % 10 == 0).alias("is_seed"),
+    )
+    edges = _edges(spark, sf)
+    # edges are reused every round: cache once, shuffle-partitioned on dst
+    edges = edges.repartition("dst").cache()
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.filter(F.col("label") != "Unknown").select(
+                    F.col("node").alias("dst"), F.col("label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        ranked = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+        top1 = ranked.filter(F.col("rk") == 1).select(
+            "node", F.col("label").alias("l1"), F.col("n").alias("n1")
+        )
+        top2 = ranked.filter(F.col("rk") == 2).select("node", F.col("n").alias("n2"))
+        labels = (
+            labels.join(top1, "node", "left")
+            .join(top2, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("label"))
+                .when(
+                    F.col("n1") - F.coalesce(F.col("n2"), F.lit(0)) >= margin,
+                    F.col("l1"),
+                )
+                .otherwise("Unknown")
+                .alias("label"),
+                "is_seed",
+            )
+        )
+        # state table per round, lineage truncated (the reference's
+        # iterations/it{N}-*.json checkpoint, Stance_Detection.py:318-323)
+        labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels.select("node", "label")
+
+
+QUERIES = {"label_propagation": label_propagation}
+ORACLES = {"label_propagation": label_propagation_oracle_sql()}

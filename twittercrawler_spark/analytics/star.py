@@ -1,0 +1,747 @@
+"""Star-schema analytics operators (SURVEY.md §2 A/J/P/W/F series).
+
+Each reference operator is re-expressed as an idiomatic Spark DataFrame
+program over the driver's TPC-H-ish tables, with a DuckDB oracle twin.
+Citations point at the reference implementation the operator re-creates
+(`/root/reference/...`).
+
+Scale notes (all queries):
+* dimension joins (region/nation/customer-sized sides) are explicit
+  ``F.broadcast`` — no shuffle of the fact table;
+* aggregations are plain ``groupBy`` so Catalyst plans partial+final hash
+  aggregation (map-side combine) automatically;
+* top-k per key is a window over a TOTAL order (unique tie-break) so results
+  are task-order independent at any parallelism;
+* filters sit directly on scans → parquet predicate pushdown + column
+  pruning (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import dbl6, dec, t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# A1/A14 — grouped counts (reference create_counts_df, PreprocessDump.py:21-34)
+@q(
+    "event_type_counts",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def event_type_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# A2 — distinct/dedup (GenerateUserUseridDict.py:44-58 list-membership dedup)
+@q("distinct_users", "SELECT DISTINCT user_id FROM events")
+def distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").select("user_id").distinct()
+
+
+# A4/F9 — histogram bucketing (get_age_interval, Functions.py:52-53)
+@q(
+    "price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.withColumn(
+            "bucket_lo",
+            (F.floor(F.col("o_totalprice") / 50000.0).cast("bigint") * 50000),
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# A5 — two-level counts + window share (Page__Location_Based_...py:34-62)
+@q(
+    "segment_nation_share",
+    """
+    WITH c AS (
+      SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, c_mktsegment, n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share
+    FROM c
+    """,
+)
+def segment_nation_share(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    counts = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("n_name")
+    return counts.withColumn(
+        "share", F.round(F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6)
+    )
+
+
+# A6 — weighted ratio aggregate (Page__Location_Based_...py:71-93): per order
+# status, nation-weighted order share where the weight is the nation's
+# positive account balance mass (the electorate analog).
+@q(
+    "weighted_status_ratio",
+    """
+    WITH w AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2))) AS DOUBLE) AS wt
+      FROM customer GROUP BY 1),
+    cnt AS (
+      SELECT c_nationkey AS nk, o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+    tot AS (SELECT nk, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1)
+    SELECT status,
+           round(sum(cnt.n * w.wt) / sum(tot.nt * w.wt), 6) AS ratio
+    FROM cnt JOIN w USING (nk) JOIN tot USING (nk)
+    GROUP BY status
+    """,
+)
+def weighted_status_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    w = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum(dec(F.greatest(F.col("c_acctbal"), F.lit(0)))).cast("double").alias("wt")
+    )
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cnt.groupBy("nk").agg(F.sum("n").alias("nt"))
+    return (
+        cnt.join(F.broadcast(w), "nk")
+        .join(F.broadcast(tot), "nk")
+        .groupBy("status")
+        .agg(
+            F.round(
+                F.sum(F.col("n") * F.col("wt")) / F.sum(F.col("nt") * F.col("wt")), 6
+            ).alias("ratio")
+        )
+    )
+
+
+# A8 — argmax with margin over top-2 (getStance, Stance_Detection.py:164-202)
+@q(
+    "user_top_event_margin",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT a.user_id,
+           CASE WHEN a.n - coalesce(b.n, 0) >= 2 THEN a.event_type
+                ELSE 'Unknown' END AS verdict
+    FROM r a LEFT JOIN r b ON a.user_id = b.user_id AND b.rk = 2
+    WHERE a.rk = 1
+    """,
+)
+def user_top_event_margin(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    a = r.filter(F.col("rk") == 1).select("user_id", "event_type", "n")
+    b = r.filter(F.col("rk") == 2).select("user_id", F.col("n").alias("n2"))
+    return a.join(b, "user_id", "left").select(
+        "user_id",
+        F.when(
+            F.col("n") - F.coalesce(F.col("n2"), F.lit(0)) >= 2, F.col("event_type")
+        )
+        .otherwise(F.lit("Unknown"))
+        .alias("verdict"),
+    )
+
+
+# A9 — argmax per group (User Based Dashboard.py:297-304); explicit
+# row_number total order so ties can't flip between engines.
+@q(
+    "richest_customer_per_nation",
+    """
+    SELECT n_name, c_name AS top_customer
+    FROM (
+      SELECT n_name, c_name,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey) x
+    WHERE rk = 1
+    """,
+)
+def richest_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", F.col("c_name").alias("top_customer"))
+    )
+
+
+# A10 — conditional 4-way counts in one pass (Page__Location_...py:99-160)
+@q(
+    "conditional_counts",
+    """
+    SELECT CAST(sum(CASE WHEN c_acctbal > 0 AND c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS pos_building,
+           CAST(sum(CASE WHEN c_acctbal > 0 AND c_mktsegment <> 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS pos_other,
+           CAST(sum(CASE WHEN c_acctbal <= 0 AND c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_building,
+           CAST(sum(CASE WHEN c_acctbal <= 0 AND c_mktsegment <> 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_other
+    FROM customer
+    """,
+)
+def conditional_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    pos = F.col("c_acctbal") > 0
+    bld = F.col("c_mktsegment") == "BUILDING"
+    s = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)  # noqa: E731
+    return c.agg(
+        s(pos & bld, "pos_building"),
+        s(pos & ~bld, "pos_other"),
+        s(~pos & bld, "nonpos_building"),
+        s(~pos & ~bld, "nonpos_other"),
+    )
+
+
+# A12 — collect_list per group (Visualization.py:99-102), made deterministic
+# by sorting and serializing to a string.
+@q(
+    "doc_ids_by_lang",
+    """
+    SELECT lang,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_ids_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("doc_ids"),
+        F.count("*").alias("n"),
+    )
+
+
+# A13 — mean per group (User Based Dashboard.py:359-367)
+@q(
+    "avg_acctbal_by_nation",
+    """
+    SELECT n_name, round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_bal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def avg_acctbal_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("c_acctbal")).cast("double") / F.count("*"), 6
+            ).alias("avg_bal"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# A14 — count(*) totals per source (PreprocessDump.py:170,214)
+@q(
+    "table_counts",
+    """
+    SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n FROM orders
+    UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+    """,
+)
+def table_counts(spark: SparkSession, sf: str) -> DataFrame:
+    parts = []
+    for name in ["orders", "lineitem", "events", "documents"]:
+        parts.append(
+            t(spark, sf, name).agg(
+                F.lit(name).alias("tbl"), F.count("*").alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# J1 — enrichment join with left-miss tolerance (Crawler.py:101-118):
+# broadcast hash join replaces the nested-loop scan of includes.users.
+@q(
+    "event_customer_enrich",
+    """
+    SELECT event_id, user_id,
+           coalesce(c_name, 'missing') AS c_name,
+           coalesce(c_mktsegment, 'missing') AS segment
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def event_customer_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    c = F.broadcast(t(spark, sf, "customer"))
+    return e.join(c, e.user_id == c.c_custkey, "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("c_name", F.lit("missing")).alias("c_name"),
+        F.coalesce("c_mktsegment", F.lit("missing")).alias("segment"),
+    )
+
+
+# J2/U2 — keyword-topic theta join with multi-label fan-out + 'other'
+# fallback (what_isit_about, PreprocessDump.py:62-79,237-268).
+_TOPICS = [
+    ("engine", ["spark", "query"]),
+    ("ops", ["join", "merge", "scan"]),
+    ("stream", ["stream", "window", "batch"]),
+]
+
+_TOPIC_SQL_ROWS = ", ".join(
+    f"('{tp}', '{kw}')" for tp, kws in _TOPICS for kw in kws
+)
+
+
+@q(
+    "doc_topics",
+    f"""
+    WITH topics(topic, kw) AS (VALUES {_TOPIC_SQL_ROWS}),
+    hit AS (
+      SELECT DISTINCT doc_id, topic
+      FROM documents JOIN topics ON contains(lower(text), kw))
+    SELECT doc_id, topic FROM hit
+    UNION ALL
+    SELECT doc_id, 'other' AS topic FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+    """,
+)
+def doc_topics(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    rows = [(tp, kw) for tp, kws in _TOPICS for kw in kws]
+    topics = F.broadcast(
+        spark.createDataFrame(rows, "topic string, kw string")
+    )
+    hit = (
+        d.join(topics, F.contains(F.lower(d.text), topics.kw))
+        .select("doc_id", "topic")
+        .distinct()
+    )
+    other = d.join(hit.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("other").alias("topic")
+    )
+    return hit.unionByName(other)
+
+
+# J3/W3 — ordered first-match alias join (Cansin_Location_Detection.py:122-177):
+# the reference scans an ordered dict and breaks on first hit; here the order
+# is an explicit rank column and first-match is row_number()=1.
+_ALIASES = [
+    ("E", "e-class", 1),
+    ("ECONOMY", "economy-class", 2),
+    ("PROMO", "promo-class", 3),
+    ("SMALL", "compact-class", 4),
+    ("STANDARD", "standard-class", 5),
+    ("LARGE", "large-class", 6),
+]
+_ALIAS_SQL_ROWS = ", ".join(f"('{a}', '{b}', {r})" for a, b, r in _ALIASES)
+
+
+@q(
+    "part_class_first_match",
+    f"""
+    WITH aliases(alias, base, rank) AS (VALUES {_ALIAS_SQL_ROWS}),
+    m AS (
+      SELECT p_partkey, base,
+             row_number() OVER (PARTITION BY p_partkey ORDER BY rank) AS rk
+      FROM part JOIN aliases ON contains(p_type, alias))
+    SELECT p_partkey, base FROM m WHERE rk = 1
+    UNION ALL
+    SELECT p_partkey, 'unmatched' AS base FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM aliases a WHERE contains(p.p_type, a.alias))
+    """,
+)
+def part_class_first_match(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    al = F.broadcast(
+        spark.createDataFrame(_ALIASES, "alias string, base string, rank int")
+    )
+    m = p.join(al, F.contains(p.p_type, F.col("alias")))
+    w = Window.partitionBy("p_partkey").orderBy("rank")
+    first = (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "base")
+    )
+    unmatched = p.join(
+        m.select("p_partkey").distinct(), "p_partkey", "left_anti"
+    ).select("p_partkey", F.lit("unmatched").alias("base"))
+    return first.unionByName(unmatched)
+
+
+# J4 — substring-vote join (gender vote, Postprocess Functions.py:7-31)
+_NAME_DIM = [
+    ("red", "M"),
+    ("blue", "F"),
+    ("green", "M"),
+    ("small", "F"),
+    ("big", "M"),
+    ("ring", "F"),
+    ("bolt", "M"),
+]
+_NAME_SQL_ROWS = ", ".join(f"('{n}', '{g}')" for n, g in _NAME_DIM)
+
+
+@q(
+    "part_name_vote",
+    f"""
+    WITH names(nm, g) AS (VALUES {_NAME_SQL_ROWS}),
+    v AS (
+      SELECT p_partkey,
+             CAST(sum(CASE WHEN g = 'M' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f
+      FROM part JOIN names ON contains(lower(p_name), nm)
+      GROUP BY 1)
+    SELECT p.p_partkey,
+           CASE WHEN v.m > v.f THEN 'M' WHEN v.f > v.m THEN 'F'
+                ELSE 'unknown' END AS vote
+    FROM part p LEFT JOIN v ON p.p_partkey = v.p_partkey
+    """,
+)
+def part_name_vote(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    names = F.broadcast(spark.createDataFrame(_NAME_DIM, "nm string, g string"))
+    v = (
+        p.join(names, F.contains(F.lower(p.p_name), names.nm))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.when(F.col("g") == "M", 1).otherwise(0)).cast("bigint").alias("m"),
+            F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).cast("bigint").alias("f"),
+        )
+    )
+    return p.join(v, "p_partkey", "left").select(
+        "p_partkey",
+        F.when(F.col("m") > F.col("f"), "M")
+        .when(F.col("f") > F.col("m"), "F")
+        .otherwise("unknown")
+        .alias("vote"),
+    )
+
+
+# J8/P6 — seen-set anti-join (the core dedup primitive;
+# GenerateUserUseridDict.py:53-56, Cansin_Location_Detection.py:107-117)
+@q(
+    "events_unknown_users",
+    """
+    SELECT event_id, user_id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def events_unknown_users(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    c = t(spark, sf, "customer")
+    return e.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("user_id"))), "user_id", "left_anti"
+    ).select("event_id", "user_id")
+
+
+# semi join — membership probe, positive form of J8
+@q(
+    "orders_with_big_lineitem",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+)
+def orders_with_big_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# W2 — per-key top-k (the per-host fetch quota analog, Crawler.py:80,208)
+@q(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) x
+    WHERE rk <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+# W4/F8 — tumbling minute buckets (TemporalAnalysis.py:7-18); the reference
+# truncates ISO strings, we truncate timestamps.
+@q(
+    "events_per_minute",
+    """
+    SELECT date_trunc('minute', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_per_minute(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# set ops — union + distinct (SURVEY §2.6)
+@q(
+    "all_known_ids",
+    """
+    SELECT DISTINCT id FROM (
+      SELECT user_id AS id FROM events
+      UNION ALL SELECT c_custkey AS id FROM customer) u
+    """,
+)
+def all_known_ids(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(F.col("user_id").alias("id"))
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return e.unionByName(c).distinct()
+
+
+# F-series — scalar string/number functions in one projection
+# (remove_new_lines/preprocess_text PreprocessDump.py:84-89, lower/contains,
+# split/trim Functions.py:100-112, buckets Functions.py:52-53). The
+# whitespace chain is the reference's SINGLE-PASS str.replace contract:
+# replace() in both engines is one left-to-right non-overlapping pass.
+@q(
+    "doc_projection",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           substr(lower(text), 1, 40) AS head40,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens_ws,
+           trim(replace(replace(replace(replace(text, chr(10), ' '),
+                chr(13), ' '), chr(9), ' '), '  ', ' ')) AS text_norm,
+           CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS chars_bucket,
+           CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    """,
+)
+def doc_projection(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    norm = F.trim(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("text"), F.lit("\n"), F.lit(" ")),
+                    F.lit("\r"),
+                    F.lit(" "),
+                ),
+                F.lit("\t"),
+                F.lit(" "),
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        F.substring(F.lower("text"), 1, 40).alias("head40"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens_ws"),
+        norm.alias("text_norm"),
+        (F.floor(F.col("n_chars") / 100.0).cast("bigint") * 100).alias("chars_bucket"),
+        F.when(F.contains("text", F.lit("spark")), 1).otherwise(0).alias("mentions_spark"),
+    )
+
+
+# A11 — keyword mention counts (count_occurances, Visualization.py:17-37) —
+# note the reference's sum_mask_numpy counts non-nulls (documented bug); we
+# implement the intended semantics.
+_KWS = ["spark", "join", "stream", "hash", "window"]
+_KW_ROWS = ", ".join(f"('{k}')" for k in _KWS)
+
+
+@q(
+    "keyword_mentions",
+    f"""
+    WITH kws(kw) AS (VALUES {_KW_ROWS})
+    SELECT kw,
+           CAST(sum(CASE WHEN contains(lower(text), kw) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM kws CROSS JOIN documents
+    GROUP BY kw
+    """,
+)
+def keyword_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    kws = F.broadcast(spark.createDataFrame([(k,) for k in _KWS], "kw string"))
+    return (
+        kws.crossJoin(d)
+        .groupBy("kw")
+        .agg(
+            F.sum(F.when(F.contains(F.lower("text"), F.col("kw")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs")
+        )
+    )
+
+
+# --- TPC-H-style headline joins -------------------------------------------
+# Q1 flavor — the flagship aggregation (exact decimal, then double).
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias(
+            "avg_price"
+        ),
+        F.count("*").alias("count_order"),
+    )
+
+
+# Q3 flavor — shipping priority: fact-fact join + top-10 by exact-decimal
+# revenue with unique tie-break.
+@q(
+    "shipping_priority_top10",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey)
+    SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue FROM (
+      SELECT o_orderkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_orderkey) AS rk
+      FROM r) x
+    WHERE rk <= 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_orderkey"))
+    return (
+        r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+# Q5 flavor — multi-way dim chain join; Catalyst broadcast-plans the whole
+# dim chain, only the two fact tables shuffle.
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    r = t(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    dims = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        o.join(dims, o.o_custkey == F.col("c_custkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators over the documents table: language ID, quality
+scoring, token counting, document fingerprinting.
+
+These are the training-data-pipeline text stages; the reference's analogs
+are its ad-hoc text ops (keyword matching `pages/Visualization.py:17-37`,
+text normalization `pages/Preprocess_scripts/PreprocessDump.py:84-89`,
+per-user text aggregation `pages/Visualization.py:99-102`), generalized to
+corpus-quality primitives.
+
+Everything is built-in expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path. All derived floats are round(…, 6) on identical
+integer inputs → exact cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import base_hash32, t, word_shingles, SHINGLES_SQL
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-evidence voting (n-gram heuristic family). A token
+# match against a per-language stopword list is one vote; argmax with
+# deterministic tie-break; no evidence → 'und'.
+_STOPWORDS = [
+    ("en", "the"),
+    ("en", "a"),
+    ("en", "of"),
+    ("en", "and"),
+    ("es", "el"),
+    ("es", "la"),
+    ("es", "de"),
+    ("de", "der"),
+    ("de", "die"),
+    ("de", "und"),
+]
+_SW_ROWS = ", ".join(f"('{lang}', '{w}')" for lang, w in _STOPWORDS)
+
+
+@q(
+    "lang_id_heuristic",
+    f"""
+    WITH sw(slang, w) AS (VALUES {_SW_ROWS}),
+    tok AS (
+      SELECT DISTINCT doc_id, tk FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+        FROM documents) u
+      WHERE tk <> ''),
+    votes AS (
+      SELECT doc_id, slang, CAST(count(*) AS BIGINT) AS n
+      FROM tok JOIN sw ON tk = w GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, slang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rk
+      FROM votes)
+    SELECT d.doc_id, coalesce(b.slang, 'und') AS lang_pred
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    sw = F.broadcast(spark.createDataFrame(_STOPWORDS, "slang string, w string"))
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .distinct()
+    )
+    votes = tok.join(sw, tok.tk == sw.w).groupBy("doc_id", "slang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("slang"))
+    best = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return d.join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("slang", F.lit("und")).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: token counts, type/token ratio, mean token length,
+# stopword ratio, composite score — all integer-derived then rounded.
+_EN_STOP_ARR = "['the', 'a', 'of', 'and']"
+
+
+@q(
+    "quality_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+        FROM documents) u
+      WHERE tk <> ''),
+    s AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tk) AS BIGINT) AS n_types,
+             CAST(sum(length(tk)) AS BIGINT) AS chars_in_tokens,
+             CAST(sum(CASE WHEN list_contains({_EN_STOP_ARR}, tk)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      FROM tok GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(chars_in_tokens AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           round(0.5 * (CAST(n_types AS DOUBLE) / n_tokens) +
+                 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+    FROM s
+    """,
+)
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
+    ).filter(F.col("tk") != "")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and"]])
+    s = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tk").alias("n_types"),
+        F.sum(F.length("tk")).cast("bigint").alias("chars_in_tokens"),
+        F.sum(F.when(F.array_contains(stop, F.col("tk")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    avl = F.col("chars_in_tokens").cast("double") / F.col("n_tokens")
+    sr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avl, 6).alias("avg_token_len"),
+        F.round(sr, 6).alias("stop_ratio"),
+        F.round(0.5 * ttr + 0.5 * sr, 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens (letter runs,
+# digit runs, single punctuation) — the pre-tokenizer shape real BPE uses.
+_TOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: whole-doc content hash of whitespace-normalized
+# text + MinHash-style minimum shingle hash (the winnowing-family
+# fingerprint; rolling-hash analog over word 3-grams).
+@q(
+    "doc_fingerprint",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    mn AS (
+      SELECT doc_id,
+             min(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS fp_min
+      FROM sh GROUP BY 1)
+    SELECT d.doc_id,
+           md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fp_md5,
+           mn.fp_min
+    FROM documents d JOIN mn ON d.doc_id = mn.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    mn = (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(base_hash32(F.col("s"))).alias("fp_min"))
+    )
+    return d.join(mn, "doc_id").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_md5"),
+        "fp_min",
+    )
