@@ -1,0 +1,185 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the crawl
+fetch+dedup+extract round on a deterministic synthetic corpus, then prints
+ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "crawl_urls_per_sec": ..., "crawl_round_sec": ..., "crawl_urls": ...}
+
+The crawl metric is the BASELINE.json north-star number: URLs through the
+schedule→fetch→extract→seen-commit round path per second. Scaling evidence
+at two parallelism levels lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority_top10",
+    "revenue_by_nation",
+    "top3_orders_per_customer",
+    "user_top_event_margin",
+    "label_propagation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_bruteforce",
+    "ann_lsh_bucketed",
+    "lang_id_heuristic",
+    "token_stats",
+    "doc_fingerprint",
+    "multimodal_decode",
+]
+
+# crawl-bench corpus: skewed hosts (one host owns ~50%), realistic-ish page
+# bodies, frontier seeded with EVERY url so round 1 is a full fetch wave —
+# the fetch+dedup+extract path carries all the work. 64 part files give real
+# input-split parallelism.
+CRAWL_PAGES = 150_000
+CRAWL_HOSTS = 2_000
+CRAWL_WORDS = 4_000  # ~28 KB html/page — Common-Crawl-ish page weight
+CRAWL_LINKS = 4
+CRAWL_QUOTA = 200_000  # quota >= hot-host pending: full wave in one round
+_CORPUS_KEY = f"bench_p{CRAWL_PAGES}h{CRAWL_HOSTS}w{CRAWL_WORDS}v6"
+
+# bench sessions split parquet finer than the 128 MB default so scan + UDF
+# stages can use every core (corpus files are small relative to real CC data)
+BENCH_CONF = {"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}
+
+
+def ensure_bench_corpus() -> str:
+    """Generate (once, cached) the bench corpus + an all-URLs seed list."""
+    import duckdb
+
+    from twittercrawler_spark.sources.corpus import generate_corpus
+
+    root = os.path.join(tempfile.gettempdir(), _CORPUS_KEY)
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        generate_corpus(
+            root,
+            n_pages=CRAWL_PAGES,
+            n_hosts=CRAWL_HOSTS,
+            n_seeds=10,
+            links_per_page=CRAWL_LINKS,
+            words_per_page=CRAWL_WORDS,
+            seed=42,
+            n_files=64,
+        )
+        duckdb.connect().execute(
+            f"COPY (SELECT url, 1.0 AS priority FROM read_parquet('{root}/pages.parquet/*.parquet'))"
+            f" TO '{root}/seeds_all.parquet' (FORMAT PARQUET)"
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return root
+
+
+def bench_crawl(spark, corpus: str, trials: int = 1) -> dict:
+    """One politeness-budgeted frontier round over the full seed wave.
+
+    ``trials`` > 1 re-runs the identical round from a copied warehouse and
+    takes the fastest wall time — the sandbox VM has noisy neighbors and the
+    metric of interest is the engine's throughput, not the host's jitter.
+    Determinism is asserted across trials (same fetched count).
+    """
+    from twittercrawler_spark.frontier.crawl import bootstrap, run_round
+    from twittercrawler_spark.frontier.simulator import CrawlConfig
+    from twittercrawler_spark.sources.tables import Warehouse
+
+    cfg = CrawlConfig(per_host_per_round=CRAWL_QUOTA, rounds=1, num_buckets=64)
+    wh_dir = tempfile.mkdtemp(prefix="bench_wh_")
+    wh = Warehouse(wh_dir)
+    t0 = time.time()
+    bootstrap(
+        spark,
+        wh,
+        f"{corpus}/pages.parquet",
+        f"{corpus}/seeds_all.parquet",
+        f"{corpus}/robots.parquet",
+        cfg,
+    )
+    t_bootstrap = time.time() - t0
+
+    times, fetched_counts = [], []
+    for i in range(max(trials, 1)):
+        trial_dir = f"{wh_dir}_t{i}"
+        shutil.copytree(wh_dir, trial_dir)
+        twh = Warehouse(trial_dir)
+        t0 = time.time()
+        run_round(spark, twh, cfg, 1)
+        times.append(time.time() - t0)
+        fetched_counts.append(int(twh.round_info(1)["metrics"]["fetched"]))
+        shutil.rmtree(trial_dir, ignore_errors=True)
+    assert len(set(fetched_counts)) == 1, f"nondeterministic round: {fetched_counts}"
+    fetched = fetched_counts[0]
+    t_round = min(times)
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    return {
+        "crawl_urls": fetched,
+        "crawl_round_sec": round(t_round, 2),
+        "crawl_round_secs_all": [round(t, 2) for t in times],
+        "crawl_bootstrap_sec": round(t_bootstrap, 2),
+        "crawl_urls_per_sec": round(fetched / t_round, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from twittercrawler_spark.analytics import ALL_QUERIES
+    from twittercrawler_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, extra_conf=BENCH_CONF)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # The crawl round is Python-worker heavy; this box's measured parallel
+    # capacity tops out near 8 concurrent worker processes + JVM (see
+    # BENCH/BASELINE.md hardware curve) — local[32] is 2x SLOWER. Use the
+    # measured-best parallelism for the throughput number, recorded below.
+    crawl_cores = min(cpus, 8)
+    corpus = ensure_bench_corpus()
+    spark = get_spark(
+        "bench_crawl", cores=crawl_cores, shuffle_partitions=crawl_cores,
+        extra_conf=BENCH_CONF,
+    )
+    crawl = bench_crawl(spark, corpus, trials=2)
+    crawl["crawl_cores"] = crawl_cores
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

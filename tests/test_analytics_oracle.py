@@ -1,0 +1,72 @@
+"""In-repo slice of the driver's correctness gate: a representative subset
+of queries() compared against their DuckDB oracle_sql() twins at sf0.001.
+
+The full sweep lives in tools/check_oracle.py (run at sf0.01 by the
+driver); this keeps `pytest -x -q` self-contained and guards regressions in
+the shared cross-engine conventions (hash, decimal, rounding, ordering).
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SUBSET = [
+    "pricing_summary",
+    "event_type_counts",
+    "user_top_event_margin",
+    "part_class_first_match",
+    "label_propagation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "lang_id_heuristic",
+    "token_stats",
+    "session_windows",
+    "multimodal_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    from twittercrawler_spark.analytics import ALL_ORACLES, ALL_QUERIES
+
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
+    scols, srows = _canon([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = duck.execute(ALL_ORACLES[name])
+    ocols, orows = _canon(res.fetchall(), [d[0] for d in res.description])
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows

@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions (the scale contract, SURVEY.md §4.3).
+
+Correct results are necessary, not sufficient: these tests pin the plan
+properties that keep the engine fast at 100 TB — filters reaching the
+parquet scan, column pruning, broadcast joins for dimension tables,
+partial (map-side) aggregation, whole-stage codegen for scalar work.
+"""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from twittercrawler_spark.analytics import ALL_QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: unused wide columns never leave the scan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    # partial+final hash aggregation (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["revenue_by_nation", "event_customer_enrich", "avg_acctbal_by_nation"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+    # the 6-way chain must not sort-merge the dimension chain
+    plan = plan_of(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_anti_and_semi_joins_planned(spark):
+    assert "LeftAnti" in plan_of(spark, "events_unknown_users")
+    assert "LeftSemi" in plan_of(spark, "orders_with_big_lineitem")
+
+
+def test_scalar_projection_codegen(spark):
+    plan = plan_of(spark, "doc_projection")
+    # formatted mode marks codegen'd spans with "[codegen id : N]"
+    assert "codegen id" in plan
+    # no Python UDFs in the scalar path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_exact_partial_agg(spark):
+    plan = plan_of(spark, "dedup_exact")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_single_shuffle(spark):
+    plan = plan_of(spark, "top3_orders_per_customer")
+    # one exchange node for the window partition key (each node appears
+    # twice in formatted output: tree line + detail block)
+    assert plan.count("Exchange") <= 2
+    # and the rank filter is pushed into a map-side partial top-k
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_lsh_paths_avoid_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, (
+        f"{name} must candidate via equi-join bucketing, never n² pairs"
+    )
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

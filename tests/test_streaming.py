@@ -1,0 +1,115 @@
+"""Structured Streaming ≡ batch on the same input (SURVEY.md §2.9).
+
+The streaming windowed aggregation and the stateful sessionizer must agree
+with their batch twins — the exactly-once contract a production run relies
+on. File source + availableNow trigger drains the fixture and stops.
+"""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+from twittercrawler_spark.streaming.windows import (
+    SESSION_GAP_SECONDS,
+    batch_minute_counts,
+    stream_minute_counts,
+    stream_sessionize,
+)
+
+def drain(q, timeout=240):
+    """Wait until the availableNow query has consumed its backlog, then stop.
+
+    availableNow queries don't always self-terminate promptly with a memory
+    sink; polling status avoids burning the whole awaitTermination budget.
+    """
+    import time
+
+    t0 = time.time()
+    while q.isActive and time.time() - t0 < timeout:
+        s = q.status
+        if not s["isDataAvailable"] and not s["isTriggerActive"] and q.lastProgress:
+            break
+        time.sleep(1)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams need a DIRECTORY; stage the fixture file into one."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_minute_counts_equals_batch(spark, tmp_path, events_dir):
+    q = stream_minute_counts(spark, events_dir, str(tmp_path / "ckpt"), "mcounts")
+    drain(q)
+    got = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in spark.table("mcounts").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in batch_minute_counts(spark, events_dir).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark, tmp_path, events_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = stream_sessionize(spark, events_dir, str(tmp_path / "ckpt2"), "sessions")
+    drain(q)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+
+    # batch oracle: same gap rule; the stream (availableNow) never flushes
+    # each user's final OPEN session, so compare closed sessions only
+    e = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | (us - prev > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
+    sessions = (
+        e.withColumn(
+            "sess_id",
+            F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    last = sessions.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"])  # noqa: E731
+    all_sessions = {key(r): r["n_events"] for r in sessions.join(last, "user_id").collect()}
+    closed = {
+        key(r): r["n_events"]
+        for r in sessions.join(last, "user_id")
+        .filter(F.col("sess_id") != F.col("last_id"))
+        .collect()
+    }
+    # every CLOSED session must be streamed exactly; each user's final open
+    # session may or may not have been flushed by the processing-time
+    # timeout before availableNow drained — so: closed ⊆ got ⊆ all
+    assert len(closed) > 0
+    assert set(closed.items()) <= set(got.items())
+    assert set(got.items()) <= set(all_sessions.items())
+
+
+@pytest.mark.parametrize("name", ["session_windows"])
+def test_batch_twin_registered(name):
+    from twittercrawler_spark.analytics import ALL_ORACLES, ALL_QUERIES
+
+    assert name in ALL_QUERIES and name in ALL_ORACLES

@@ -537,6 +537,53 @@ def events_per_minute(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Gap-based sessionization (batch twin of streaming/windows.py
+# stream_sessionize; the reference's temporal bucketing generalized).
+# Exact-microsecond gap arithmetic in both engines.
+@q(
+    "session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM m)
+    SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(count(*) AS DOUBLE) / max(sess_id), 6) AS events_per_session
+    FROM s GROUP BY user_id
+    """,
+)
+def session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is a no-op
+    # reinterpretation matching DuckDB's epoch_us on the naive value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | (us - prev > 1_800_000_000), 1).otherwise(0)
+    s = e.withColumn(
+        "sess_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("sess_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.count("*").cast("double") / F.max("sess_id"), 6).alias(
+            "events_per_session"
+        ),
+    )
+
+
 # set ops — union + distinct (SURVEY §2.6)
 @q(
     "all_known_ids",

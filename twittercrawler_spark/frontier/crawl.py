@@ -38,9 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import (
     udf_canonicalize,
     udf_canonicalize_rel,
-    udf_extract_links,
-    udf_extract_text,
-    udf_host,
+    udf_extract_text_links,
 )
 from ..functions.urls import spark_url_hash64
 from ..sources.tables import Warehouse
@@ -51,11 +49,20 @@ from .simulator import CrawlConfig
 _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
 
 
+_HOST_RE = r"^[a-z0-9+.-]+://([^/?#]+)"
+
+
 def _with_url_cols(df: DataFrame, num_buckets: int) -> DataFrame:
-    """Add url_hash/host/host_bucket/path derived from canonical ``url``."""
+    """Add url_hash/host/host_bucket/path derived from canonical ``url``.
+
+    Canonical URLs are machine-made (scheme://netloc/path[?q]), so host and
+    path come from JVM-side regexps inside whole-stage codegen — no Python
+    crossing (udf_host stays for raw/edge-case inputs; parity asserted in
+    tests/test_urls.py).
+    """
     return (
         df.withColumn("url_hash", spark_url_hash64("url"))
-        .withColumn("host", udf_host(F.col("url")))
+        .withColumn("host", F.regexp_extract("url", _HOST_RE, 1))
         .withColumn("host_bucket", F.pmod(F.col("url_hash"), F.lit(num_buckets)).cast("int"))
         .withColumn("path", F.regexp_extract("url", _PATH_RE, 1))
     )
@@ -71,13 +78,13 @@ def bootstrap(
 ) -> None:
     """Round 0: canonicalized page corpus + seeded frontier + robots dim."""
     raw = spark.read.parquet(pages_path)
+    # Canonicalize join keys only; html stays opaque — extraction runs in the
+    # per-round fetch path for SELECTED urls only (at 10^10-page scale you
+    # never pre-extract the whole corpus to crawl a subset).
     canon = (
         raw.withColumn("url_raw", F.col("url"))
         .withColumn("url", udf_canonicalize(F.col("url")))
         .filter(F.col("url").isNotNull())
-        .withColumn("extracted_text", udf_extract_text(F.col("html")))
-        .withColumn("links", udf_extract_links(F.col("html")))
-        .drop("html")
     )
     # defensive dedup if two raw spellings canonicalize identically: keep the
     # earliest (warc_ts, url_raw) — a computed rule, not task order
@@ -106,7 +113,8 @@ def bootstrap(
 
     robots = spark.read.parquet(robots_path)
     wh.write("robots", robots, 0)
-    wh.commit(0, {"seq_end": 0, "cfg": cfg.__dict__})
+    n_seeds = wh.read_uncommitted(spark, "frontier", 0).count()
+    wh.commit(0, {"seq_end": 0, "frontier_size": n_seeds, "cfg": cfg.__dict__})
 
 
 def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) -> bool:
@@ -115,10 +123,15 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     if pending is None:
         return False
     pending = pending.drop("round")
-    if pending.head(1) == []:
-        return False
     prev = wh.round_info(rnd - 1) or {}
-    seq_start = int(prev.get("metrics", {}).get("seq_end", 0))
+    prev_m = prev.get("metrics", {})
+    # frontier emptiness comes from the previous commit's manifest (free);
+    # the head() probe only runs when the manifest predates the field
+    if int(prev_m.get("frontier_size", -1)) == 0:
+        return False
+    if "frontier_size" not in prev_m and pending.head(1) == []:
+        return False
+    seq_start = int(prev_m.get("seq_end", 0))
 
     robots = wh.read_round(spark, "robots", 0).drop("round")
     pages = wh.read_round(spark, "pages_canon", 0).drop("round")
@@ -137,33 +150,58 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # politeness selection + deterministic global fetch order
     selected = select_per_host_topk(gated, cfg.per_host_per_round, cfg.salt_sub_buckets)
     selected = with_global_sequence(selected, seq_start)
+    # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
+    # checkpoint once; its count arrives with the end-of-round metrics job
     selected = selected.localCheckpoint(eager=True)
-    n_selected = selected.count()
-    if n_selected == 0:
-        wh.write("frontier", gated.limit(0), rnd)
-        wh.commit(rnd, {"seq_end": seq_start, "fetched": 0, "exhausted": True})
-        return False
 
-    # "fetch": join the scheduled slice against the page corpus
-    fetched = selected.join(
-        pages.select("url", F.col("extracted_text").alias("text"), "links", "lang"),
-        "url",
-        "left",
-    ).withColumn("status", F.when(F.col("text").isNull(), "missing").otherwise("ok"))
-    fetched = fetched.localCheckpoint(eager=True)
+    # "fetch": ship the SCHEDULE to the DATA — the selected slice is
+    # quota-bounded (politeness) and tiny next to the page corpus, so it
+    # broadcasts against the pages scan and the html bytes NEVER shuffle;
+    # extraction (the only Python crossings, Arrow-batched) then runs
+    # scan-local on the fetched rows only. (At frontier sizes where a round's
+    # schedule outgrew the broadcast budget, dropping the hint falls back to
+    # a bucket-co-located SMJ — same plan shape, still no html re-shuffle
+    # with host_bucket-bucketed storage.)
+    sel_keys = selected.select("url", "seq", "priority", "host", "host_bucket")
+    hit = (
+        pages.select("url", "html", "lang")
+        .join(F.broadcast(sel_keys), "url")
+        .withColumn("_ex", udf_extract_text_links(F.col("html")))
+        .withColumn("text", F.col("_ex.text"))
+        .withColumn("links", F.col("_ex.links"))
+        .withColumn("status", F.lit("ok"))
+        .drop("html", "_ex")
+    )
+    miss = (
+        sel_keys.join(pages.select("url"), "url", "left_anti")
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("links", F.lit(None).cast("array<string>"))
+        .withColumn("status", F.lit("missing"))
+    )
+    fetched = hit.unionByName(miss, allowMissingColumns=False)
 
+    # The fetch_log WRITE is the round's materialization point: extraction
+    # runs exactly once into the durable table; downstream link expansion
+    # re-reads it COLUMN-PRUNED (url, priority, links — the text bytes stay
+    # on disk). Caching these wide rows on-heap instead measurably collapses
+    # under GC at high parallelism. fetch_log keeps the scan-local layout
+    # (no text shuffle); crawl order is the seq COLUMN, never file order
+    # (SURVEY.md §7.4).
     wh.write(
         "fetch_log",
-        fetched.select("seq", "url", "host", "host_bucket", "status", "text", "lang")
-        .repartition(cfg.num_buckets, "host_bucket")
-        .sortWithinPartitions("seq"),
+        fetched.select(
+            "seq", "url", "host", "host_bucket", "status", "text", "lang",
+            "priority", "links",
+        ),
         rnd,
     )
+    fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd)
     wh.write("seen", selected.select("url", "url_hash", "host_bucket"), rnd)
 
     # expand: out-links → canonicalize vs base → max child priority per url
     links = (
-        fetched.filter(F.col("status") == "ok")
+        fetched_log.filter(F.col("status") == "ok")
         .select(
             F.explode("links").alias("href"),
             F.col("url").alias("base_url"),
@@ -188,20 +226,23 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
     )
 
+    # the frontier WRITE is the merge's single materialization (same durable-
+    # table-as-checkpoint pattern as fetch_log); new-link rows are recovered
+    # from the written table by discovered_round — no on-heap caching
     frontier_next = remaining.select(
         "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
     ).unionByName(new_pending)
     frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
-    frontier_next = frontier_next.localCheckpoint(eager=True)
     wh.write("frontier", frontier_next, rnd)
+    frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
 
     # per-partition lineage metrics (north rule): per-host_bucket counts at
     # each stage of this round
     stages = {
         "candidates": pending,
         "selected": selected,
-        "new_links": new_pending,
-        "frontier_next": frontier_next,
+        "new_links": frontier_written.filter(F.col("discovered_round") == rnd),
+        "frontier_next": frontier_written,
     }
     metric_rows = None
     for stage, df in stages.items():
@@ -209,19 +250,29 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "stage", F.lit(stage)
         )
         metric_rows = m if metric_rows is None else metric_rows.unionByName(m)
-    wh.write("metrics", metric_rows, rnd)
-
-    n_new = new_pending.count()
+    # one compute job: collect the (NB × stages)-row lineage, then both the
+    # metrics table and the commit totals come from it (no extra count jobs)
+    collected = metric_rows.collect()
+    wh.write(
+        "metrics",
+        spark.createDataFrame(collected, metric_rows.schema),
+        rnd,
+    )
+    totals = {s: 0 for s in stages}
+    for r in collected:
+        totals[r["stage"]] += r["n"]
+    n_selected = totals["selected"]
     wh.commit(
         rnd,
         {
             "seq_end": seq_start + n_selected,
             "fetched": n_selected,
-            "new_links": n_new,
-            "frontier_size": frontier_next.count(),
+            "new_links": totals["new_links"],
+            "frontier_size": totals["frontier_next"],
+            **({"exhausted": True} if n_selected == 0 else {}),
         },
     )
-    return True
+    return n_selected > 0
 
 
 def run_crawl(

@@ -15,20 +15,16 @@ per topic per round, sleep-to-budget pacing (pages/Crawler.py:70,80,148-153)
   top-k from the ≤ k·S per-host survivors. The global per-host quota stays
   exact (SURVEY.md §7.4 "Hot-host skew").
 
-The global sequence number is assigned WITHOUT a single-partition window:
-range-repartition on the order columns, sort within partitions, then add
-per-partition offsets (computed from a tiny collected count-per-partition
-map) inside an Arrow-batched iterator — the standard scalable zip-with-index.
+The global sequence number is assigned WITHOUT a row-level global sort:
+the (host asc, host_rank asc) total order decomposes into per-host base
+offsets — a running sum over the host-level count table (metadata scale) —
+broadcast back onto the rows. Fully JVM-side, shuffle-light, deterministic.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def order_cols() -> list[Column]:
@@ -57,36 +53,26 @@ def with_global_sequence(
 ) -> DataFrame:
     """Add ``seq`` = start_at + rank in (host asc, host_rank asc) order.
 
-    Scales: no global single-partition window. Range partition on the order
-    key, sort within partitions, offset by broadcast per-partition counts.
+    Fully JVM-side and shuffle-light: the global order decomposes into
+    per-host base offsets (a running sum over the HOST-LEVEL count table,
+    which is quota-bounded rows-per-host and #hosts rows total — metadata
+    scale) broadcast-joined back, plus the already-computed ``host_rank``.
+    No row-level global sort, no Python crossing, no single-partition pass
+    over row data. (If a single round ever schedules ~10^8 distinct hosts,
+    the offsets window itself gets the same two-level treatment.)
     """
-    cols = ["host", "host_rank"]
-    np_ = num_partitions or selected.sparkSession.sparkContext.defaultParallelism
-    arranged = selected.repartitionByRange(np_, *cols).sortWithinPartitions(*cols)
-    arranged = arranged.withColumn("_pid", F.spark_partition_id())
-    # pin the range-partitioner's sampled boundaries: the count job and the
-    # final mapInPandas job must see IDENTICAL partitioning
-    arranged = arranged.localCheckpoint(eager=True)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in arranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = start_at
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    schema = T.StructType(list(arranged.schema.fields) + [T.StructField("seq", T.LongType())])
-
-    def add_seq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pdf.assign(seq=pd.Series(dtype="int64"))
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.assign(seq=range(base + local + 1, base + local + 1 + len(pdf)))
-            local += len(pdf)
-            yield pdf
-
-    return arranged.mapInPandas(add_seq, schema).drop("_pid")
+    counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_base", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    ).select("host", "_base")
+    return (
+        selected.join(F.broadcast(offsets), "host")
+        .withColumn(
+            "seq",
+            (F.lit(start_at).cast("long") + F.col("_base") + F.col("host_rank")).cast(
+                "long"
+            ),
+        )
+        .drop("_base")
+    )

@@ -28,6 +28,24 @@ def udf_extract_links(html: pd.Series) -> pd.Series:
     return pd_extract_links(html)
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def udf_extract_text_links(html: pd.Series) -> pd.DataFrame:
+    """HTML(binary) → (text, links) in ONE Arrow crossing.
+
+    The html bytes dominate the Python↔JVM transfer; fusing both extractors
+    halves that traffic versus calling udf_extract_text + udf_extract_links
+    separately on the same column.
+    """
+    return pd.DataFrame({"text": pd_extract_text(html), "links": pd_extract_links(html)})
+
+
 @F.pandas_udf(T.StringType())
 def udf_canonicalize(url: pd.Series) -> pd.Series:
     """Absolute URL → canonical form (None for non-http(s))."""

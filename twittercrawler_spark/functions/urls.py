@@ -80,8 +80,16 @@ def url_hash64(canonical_url: str) -> int:
 def pd_canonicalize(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
     if bases is None:
         return urls.map(lambda u: canonicalize_url(u) if isinstance(u, str) else None)
+    # absolute hrefs don't need the (expensive) urljoin resolve; urljoin on
+    # an absolute URL returns it unchanged, so this fast path is semantics-
+    # preserving (asserted in tests/test_urls.py)
     return pd.Series(
-        [canonicalize_url(u, b) if isinstance(u, str) else None for u, b in zip(urls, bases)],
+        [
+            canonicalize_url(u)
+            if isinstance(u, str) and (u.startswith("http://") or u.startswith("https://"))
+            else (canonicalize_url(u, b) if isinstance(u, str) else None)
+            for u, b in zip(urls, bases)
+        ],
         index=urls.index,
         dtype=object,
     )

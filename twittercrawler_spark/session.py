@@ -27,6 +27,16 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # One BLAS/OpenMP thread per Python worker: N workers × M-thread pools
+    # oversubscribe the box and *invert* scaling (measured 2× slowdown at
+    # local[32]). Real clusters pin this via spark.executorEnv too.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -36,7 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # modest Arrow batches: crawl rows carry multi-KB html/text payloads,
+        # and 10k-row batches of those thrash the heap at high parallelism
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # zstd: ~35% smaller files than snappy on text-heavy tables; the
+        # extra (parallel) CPU trades against the one resource that does
+        # NOT scale with executors — storage bandwidth
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

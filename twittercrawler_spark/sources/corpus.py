@@ -90,8 +90,16 @@ def generate_corpus(
     links_per_page: int = 4,
     seed: int = 42,
     chunk_rows: int = 50_000,
+    words_per_page: int = 12,
+    n_files: int = 1,
 ) -> dict[str, str]:
-    """Write pages/seeds/robots parquet under ``out_dir``; return paths."""
+    """Write pages/seeds/robots parquet under ``out_dir``; return paths.
+
+    ``n_files > 1`` writes the pages table as a directory of part files so
+    Spark gets real input-split parallelism (one ~35 MB file has too few row
+    groups to feed 32 cores). Row content depends only on (seed, page index),
+    so the file layout never changes the data.
+    """
     os.makedirs(out_dir, exist_ok=True)
     hosts = _host_assignment(n_pages, n_hosts, seed)
 
@@ -105,8 +113,13 @@ def generate_corpus(
         ]
     )
     pages_path = os.path.join(out_dir, "pages.parquet")
-    writer = pq.ParquetWriter(pages_path, schema)
-    for lo in range(0, n_pages, chunk_rows):
+    if n_files > 1:
+        os.makedirs(pages_path, exist_ok=True)
+        chunk_rows = max(1, -(-n_pages // n_files))
+        writer = None
+    else:
+        writer = pq.ParquetWriter(pages_path, schema)
+    for file_idx, lo in enumerate(range(0, n_pages, chunk_rows)):
         hi = min(lo + chunk_rows, n_pages)
         urls, tss, htmls, texts, langs = [], [], [], [], []
         for i in range(lo, hi):
@@ -114,9 +127,10 @@ def generate_corpus(
             rng = random.Random(f"{seed}:{i}")
             url = _page_url_raw(h, i, rng)
             # body paragraphs with \n/\r/\t/double-space runs (FIXTURES.md)
-            words = rng.choices(_WORDS, k=12)
-            para1 = " ".join(words[:6]) + "\nline2\ttabbed  double " + words[6]
-            para2 = " ".join(words[7:]) + "\r\ncrlf &amp; amp &lt;tag&gt;"
+            words = rng.choices(_WORDS, k=words_per_page)
+            half = words_per_page // 2
+            para1 = " ".join(words[:half]) + "\nline2\ttabbed  double " + words[half]
+            para2 = " ".join(words[half + 1 :]) + "\r\ncrlf &amp; amp &lt;tag&gt;"
             # deterministic out-links into the URL graph
             n_links = rng.randrange(1, links_per_page + 1)
             link_targets = [rng.randrange(n_pages) for _ in range(n_links)]
@@ -141,13 +155,16 @@ def generate_corpus(
             htmls.append(html.encode("utf-8"))
             texts.append(extract_text(html))
             langs.append(_LANGS[h % 3])
-        writer.write_table(
-            pa.table(
-                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
-                schema=schema,
-            )
+        tbl = pa.table(
+            {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
+            schema=schema,
         )
-    writer.close()
+        if writer is None:
+            pq.write_table(tbl, os.path.join(pages_path, f"part-{file_idx:05d}.parquet"))
+        else:
+            writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
 
     # seeds: first page of the n_seeds lowest-indexed distinct hosts, fixed
     # order, descending priority (analog of the fixed topic list order,

@@ -95,6 +95,14 @@ class Warehouse:
             spark.read.option("basePath", os.path.join(self.root, name)).parquet(*paths)
         )
 
+    def read_uncommitted(self, spark: SparkSession, name: str, rnd: int) -> DataFrame:
+        """Read a round's data BEFORE its commit — for in-round dataflow that
+        uses the just-written durable table as its materialization point
+        (cheaper and GC-safer than caching wide rows on-heap)."""
+        return spark.read.option(
+            "basePath", os.path.join(self.root, name)
+        ).parquet(self._round_dir(name, rnd))
+
     def read_round(self, spark: SparkSession, name: str, rnd: int) -> DataFrame | None:
         """One committed round of a snapshot-style table."""
         if rnd not in self.committed_rounds():

@@ -1,0 +1,183 @@
+"""Structured Streaming equivalents of the reference's poor-man's streaming
+(SURVEY.md §2.9).
+
+The reference's streaming surface is: an unbounded crawl loop with periodic
+flush (pages/Crawler.py:54-59,127-146), live per-minute counters
+(pages/Postprocess_scripts/TemporalAnalysis.py:7-18 fed by
+pages/Visualization.py:87-91), and queue-polled live stats
+(pages/Preprocess.py:267-274). Here those are real streams:
+
+* ``stream_minute_counts`` — file-source stream → event-time tumbling window
+  + watermark → sink. ``trigger(availableNow=True)`` drains the backlog and
+  stops: the micro-batch analog of the reference's bounded crawl session.
+* ``stream_sessionize`` — ``applyInPandasWithState`` per-user session
+  aggregation with a processing-time timeout: the custom-stateful-operator
+  pattern (gap-based sessions, GroupState lifecycle, Arrow batches).
+
+Batch twins of both live in the analytics registry with DuckDB oracles
+(events_per_minute, session_windows); the streaming tests assert
+stream-result == batch-result on the same input, which is the exactly-once
+contract a production run relies on.
+
+Scale: the streaming state store is keyed by (window) / (user) — both
+bounded; watermarks bound state retention; file sources at 100 TB become
+Kafka/object-store listings with the same plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 1800
+
+
+def stream_minute_counts(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Per-minute event counts as a streaming query on a file source.
+
+    Watermark of 10 minutes: late rows beyond it are dropped from the
+    aggregation state (the reference has NO late-data story — its counters
+    simply mutate; the watermark is the principled replacement).
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        # event-time machinery requires TIMESTAMP (not NTZ); session tz is
+        # UTC so the cast is a pure reinterpretation
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_minute_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch twin of :func:`stream_minute_counts` (same plan, bounded)."""
+    return (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer: emits a session row whenever a >gap break is
+    seen in event time; keeps the open session in GroupState; a timeout
+    flushes the final open session."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+    ts_list.sort()
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+
+    out_rows: list[tuple[int, int, int]] = []
+    for t_us in ts_list:
+        if start_us is None:
+            start_us, last_us, n = t_us, t_us, 1
+        elif t_us - last_us > SESSION_GAP_SECONDS * 1_000_000:
+            out_rows.append((start_us, last_us, n))
+            start_us, last_us, n = t_us, t_us, 1
+        else:
+            last_us, n = t_us, n + 1
+    if start_us is not None:
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(10_000)
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_rows),
+                "session_start": [pd.Timestamp(a, unit="us") for a, _, _ in out_rows],
+                "session_end": [pd.Timestamp(b, unit="us") for _, b, _ in out_rows],
+                "n_events": [c for _, _, c in out_rows],
+            }
+        )
+
+
+def stream_sessionize(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Per-user gap sessions via applyInPandasWithState (custom stateful op)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
