@@ -1,0 +1,82 @@
+"""Source/sink format coverage (SURVEY.md §2.1 S2-S7).
+
+The reference moves data through gzip NDJSON dumps, partitioned CSV trees,
+and recursive directory listings; these tests pin the Spark equivalents:
+transparent .gz JSON read, PERMISSIVE malformed-line handling, Hive-style
+partitioned CSV write/read, and recursive multi-file reads.
+"""
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_gzip_ndjson_roundtrip(spark, tmp_path):
+    """S2/S3: gz NDJSON sink + transparent decompressing scan."""
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 3).alias("topic"),
+    )
+    out = str(tmp_path / "dump")
+    df.write.option("compression", "gzip").partitionBy("topic").json(out)
+    # partition dirs + gz part files, like the reference's per-topic dumps
+    topics = [d for d in os.listdir(out) if d.startswith("topic=")]
+    assert sorted(topics) == ["topic=0", "topic=1", "topic=2"]
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+
+
+def test_permissive_malformed_json_skip(spark, tmp_path):
+    """S4/P7: malformed lines survive the read and are filterable, matching
+    the reference's try/except-continue (PreprocessDump.py:202-224)."""
+    p = tmp_path / "lines.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "text": f"t{i}"}) + "\n")
+        f.write("{not json at all\n")
+        f.write(json.dumps({"id": 10, "text": "t10"}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 11
+    assert bad.count() == 1
+    df.unpersist()
+
+
+def test_partitioned_csv_roundtrip(spark, tmp_path):
+    """S5/S6/D4: Hive-style (topic, lang) partitioned CSV, the reference's
+    tweets_dump_csv/<topic>/<lang>/ tree (PreprocessDump.py:107-134)."""
+    rows = [(i, f"txt{i}", f"t{i % 2}", ["tr", "en"][i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string, topic string, lang string")
+    out = str(tmp_path / "csv_lake")
+    df.write.option("header", True).partitionBy("topic", "lang").csv(out)
+    assert os.path.isdir(os.path.join(out, "topic=t0", "lang=tr"))
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 40
+    assert set(back.columns) == {"id", "text", "topic", "lang"}
+
+
+def test_recursive_file_lookup(spark, tmp_path):
+    """S7: nested directory tree → one logical dataset (os.walk analog)."""
+    for sub in ["a/x", "a/y", "b"]:
+        d = tmp_path / sub
+        d.mkdir(parents=True)
+        with open(d / "part.json", "w") as f:
+            f.write(json.dumps({"v": sub}) + "\n")
+    df = (
+        spark.read.option("recursiveFileLookup", "true").json(str(tmp_path))
+    )
+    assert df.count() == 3
+    assert {r["v"] for r in df.collect()} == {"a/x", "a/y", "b"}

@@ -584,6 +584,67 @@ def session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# S4 — JSON field extraction (the reference parses whole JSON lines with
+# json.loads / ast.literal_eval, PreprocessDump.py:202-211; here the field
+# access is a JSON-path expression pushed through codegen).
+@q(
+    "props_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) OVER (PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_freq
+    FROM events
+    """,
+)
+def props_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select("event_id", k.alias("k")).withColumn(
+        "k_freq", F.count("*").over(Window.partitionBy("k"))
+    )
+
+
+# Grouping sets: ROLLUP over the dimension chain (not in the reference —
+# Catalyst gives it free; included for engine completeness, SURVEY §2.4).
+@q(
+    "rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    c = F.broadcast(t(spark, sf, "customer"))
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
 # set ops — union + distinct (SURVEY §2.6)
 @q(
     "all_known_ids",
