@@ -44,40 +44,43 @@ HEADLINE = [
     "multimodal_decode",
 ]
 
-# crawl-bench corpus: skewed hosts (one host owns ~50%), realistic-ish page
-# bodies, frontier seeded with EVERY url so round 1 is a full fetch wave —
-# the fetch+dedup+extract path carries all the work. 64 part files give real
-# input-split parallelism.
-CRAWL_PAGES = 150_000
+# crawl-bench corpora: skewed hosts (one host owns ~50%), frontier seeded
+# with EVERY url so round 1 is a full fetch wave — the fetch+dedup+extract
+# path carries all the work. 64 part files give real input-split parallelism.
+# Two sizes: the per-round bench corpus generates in under a minute; the
+# scaling-evidence corpus (tools/bench_scaling.py) uses Common-Crawl-ish
+# ~28 KB pages so compute dwarfs the fixed per-round floor.
 CRAWL_HOSTS = 2_000
-CRAWL_WORDS = 4_000  # ~28 KB html/page — Common-Crawl-ish page weight
 CRAWL_LINKS = 4
 CRAWL_QUOTA = 200_000  # quota >= hot-host pending: full wave in one round
-_CORPUS_KEY = f"bench_p{CRAWL_PAGES}h{CRAWL_HOSTS}w{CRAWL_WORDS}v6"
+BENCH_PAGES, BENCH_WORDS = 40_000, 1_000
+SCALE_PAGES, SCALE_WORDS = 150_000, 4_000
 
 # bench sessions split parquet finer than the 128 MB default so scan + UDF
 # stages can use every core (corpus files are small relative to real CC data)
 BENCH_CONF = {"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}
 
 
-def ensure_bench_corpus() -> str:
-    """Generate (once, cached) the bench corpus + an all-URLs seed list."""
+def ensure_bench_corpus(n_pages: int = BENCH_PAGES, words: int = BENCH_WORDS) -> str:
+    """Generate (once, cached) a bench corpus + an all-URLs seed list."""
     import duckdb
 
     from twittercrawler_spark.sources.corpus import generate_corpus
 
-    root = os.path.join(tempfile.gettempdir(), _CORPUS_KEY)
+    root = os.path.join(
+        tempfile.gettempdir(), f"bench_p{n_pages}h{CRAWL_HOSTS}w{words}v6"
+    )
     done = os.path.join(root, "_done")
     if not os.path.exists(done):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         generate_corpus(
             root,
-            n_pages=CRAWL_PAGES,
+            n_pages=n_pages,
             n_hosts=CRAWL_HOSTS,
             n_seeds=10,
             links_per_page=CRAWL_LINKS,
-            words_per_page=CRAWL_WORDS,
+            words_per_page=words,
             seed=42,
             n_files=64,
         )

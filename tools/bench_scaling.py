@@ -91,7 +91,7 @@ def main() -> None:
     from twittercrawler_spark.functions.udfs import udf_preprocess_text
     from twittercrawler_spark.sources.tables import Warehouse
 
-    corpus = bench.ensure_bench_corpus()
+    corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
     cfg = CrawlConfig(per_host_per_round=bench.CRAWL_QUOTA, rounds=1, num_buckets=64)
 
     wh_base = tempfile.mkdtemp(prefix="scale_wh_base_")
@@ -168,8 +168,8 @@ def main() -> None:
 Job: one politeness-budgeted frontier round (schedule → broadcast
 fetch-join → extract(text+links, one fused Arrow pandas UDF) → seen-set
 commit → link expansion → frontier merge) over a deterministic synthetic
-corpus ({b.CRAWL_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
-~{b.CRAWL_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with EVERY url so
+corpus ({b.SCALE_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
+~{b.SCALE_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with EVERY url so
 round 1 is a full fetch wave. Same input, same seed, alternating A/B trials
 at two parallelism levels inside one process, best of {CYCLES} per level —
 the sandbox stand-in for N vs 4N executors (BASELINE.md evidence plan).
