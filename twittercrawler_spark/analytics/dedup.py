@@ -163,34 +163,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # shingle hashes feed the signature build AND the verify join → persist
     hs = _shingle_hashes(spark, sf).persist()
-    params = F.broadcast(
-        spark.range(1, MINHASH_K + 1)
-        .select(
-            F.col("id").cast("int").alias("i"),
-            (2 * F.col("id") + 1).cast("bigint").alias("a"),
-            ((1000003 * F.col("id")) % MERSENNE_P).cast("bigint").alias("b"),
-        )
-    )
-    mh = (
-        hs.crossJoin(params)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P).alias("m"))
-    )
-    bands = (
-        mh.withColumn(
-            "band", F.floor((F.col("i") - 1) / float(MINHASH_BAND)).cast("bigint")
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda x: x["m"].cast("string"),
-                ),
+    # all k minima in ONE groupBy pass (k aggregate columns beats a k-way
+    # row explosion ~10×: map-side partial min, no extra shuffle rows);
+    # values identical to the oracle's per-i min formulation
+    min_cols = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit((1000003 * i) % MERSENNE_P))
+            % MERSENNE_P
+        ).alias(f"m{i}")
+        for i in range(1, MINHASH_K + 1)
+    ]
+    sig_rows = hs.groupBy("doc_id").agg(*min_cols)
+    n_bands = MINHASH_K // MINHASH_BAND
+    band_entries = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.concat_ws(
                 "-",
-            ).alias("sig")
+                *[
+                    F.col(f"m{b * MINHASH_BAND + j + 1}").cast("string")
+                    for j in range(MINHASH_BAND)
+                ],
+            ).alias("sig"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    bands = sig_rows.select(
+        "doc_id", F.explode(F.array(*band_entries)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     ba = bands.select(F.col("doc_id").alias("x"), "band", "sig")
     bb = bands.select(F.col("doc_id").alias("y"), "band", "sig")
     cand = (
