@@ -74,6 +74,15 @@ def test_lsh_paths_avoid_cartesian(spark, name):
     )
 
 
+def test_global_topk_never_single_partition_window(spark):
+    # top-k of a large input must plan as TakeOrderedAndProject (map-side
+    # partial top-k), never a partition-less WindowExec that funnels every
+    # row through one task
+    plan = plan_of(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_knn_broadcasts_queries(spark):
     plan = plan_of(spark, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

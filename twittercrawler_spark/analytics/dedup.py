@@ -258,24 +258,20 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     th = tok.select("doc_id", base_hash32(F.col("tk")).alias("h"))
-    js = F.broadcast(spark.range(0, 32).select(F.col("id").cast("int").alias("j")))
-    bits = (
-        th.crossJoin(js)
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
-            ).alias("ssum")
-        )
-    )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("ssum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("bigint")
-        .alias("f")
+    # fused bit-vote: all 32 per-bit sums as aggregate COLUMNS in one groupBy
+    # (map-side partial sums, no row explosion) — the same k-columns trick as
+    # the MinHash minima above; values identical to the oracle's per-j sums
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(32)
+    ]
+    f_expr = F.lit(0).cast("bigint")
+    for j in range(32):
+        f_expr = f_expr + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    fp = th.groupBy("doc_id").agg(*bit_sums).select(
+        "doc_id", f_expr.cast("bigint").alias("f")
     )
     ks = F.broadcast(spark.range(0, 4).select(F.col("id").cast("int").alias("k")))
     ch = fp.crossJoin(ks).select(

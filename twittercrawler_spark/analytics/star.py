@@ -805,10 +805,12 @@ def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.sum(rev).alias("rev"))
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_orderkey"))
+    # top-k of a large input must never be a partition-less window (all rows
+    # to ONE task); orderBy+limit plans as TakeOrderedAndProject — map-side
+    # partial top-10 per partition, then a 10-row merge on the driver side
     return (
-        r.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        r.orderBy(F.desc("rev"), F.asc("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", F.col("rev").cast("double").alias("revenue"))
     )
 

@@ -48,9 +48,7 @@ def select_per_host_topk(candidates: DataFrame, k: int, salt_sub_buckets: int = 
     )
 
 
-def with_global_sequence(
-    selected: DataFrame, start_at: int, num_partitions: int | None = None
-) -> DataFrame:
+def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     """Add ``seq`` = start_at + rank in (host asc, host_rank asc) order.
 
     Fully JVM-side and shuffle-light: the global order decomposes into
@@ -62,7 +60,15 @@ def with_global_sequence(
     the offsets window itself gets the same two-level treatment.)
     """
     counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
-    w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    # this window runs over the HOST-COUNT table (one row per scheduled host
+    # — metadata scale), so a single partition is intentional; the constant
+    # partition key makes that explicit instead of tripping Spark's
+    # "No Partition Defined for Window" warning for row-data windows
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("host")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.withColumn(
         "_base", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
     ).select("host", "_base")
