@@ -30,7 +30,7 @@ N_PAGES = 400
 N_HOSTS = 12
 N_SEEDS = 6
 ROUNDS = 4
-_PARAM_KEY = f"p{N_PAGES}h{N_HOSTS}s{N_SEEDS}r{ROUNDS}v3"
+_PARAM_KEY = f"p{N_PAGES}h{N_HOSTS}s{N_SEEDS}r{ROUNDS}v4"
 
 
 def _cache_root() -> str:

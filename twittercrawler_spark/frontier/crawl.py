@@ -43,7 +43,7 @@ from ..functions.udfs import (
 from ..functions.urls import spark_url_hash64
 from ..sources.tables import Warehouse
 from .scheduler import select_per_host_topk, with_global_sequence
-from .seen import build_bloom_sidecar, filter_unseen
+from .seen import filter_unseen, plan_update, update_bloom_sidecar
 from .simulator import CrawlConfig
 
 _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
@@ -113,7 +113,18 @@ def bootstrap(
 
     robots = spark.read.parquet(robots_path)
     wh.write("robots", robots, 0)
-    n_seeds = wh.read_uncommitted(spark, "frontier", 0).count()
+    # round-0 lineage: per-bucket frontier counts — round 1 reads these as
+    # its "candidates" stage instead of rescanning the frontier
+    m0 = (
+        wh.read_uncommitted(spark, "frontier", 0)
+        .groupBy("host_bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("frontier_next"))
+        .select("host_bucket", "stage", "n")
+    )
+    collected0 = m0.collect()
+    wh.write("metrics", spark.createDataFrame(collected0, m0.schema), 0)
+    n_seeds = sum(r["n"] for r in collected0)
     wh.commit(0, {"seq_end": 0, "frontier_size": n_seeds, "cfg": cfg.__dict__})
 
 
@@ -215,11 +226,13 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     links = _with_url_cols(links, cfg.num_buckets)
 
     # dedup: not fetched this round, not in prior seen (Bloom prefilter +
-    # exact anti-join), not already pending
+    # exact anti-join), not already pending. The sidecar is the committed
+    # per-bucket Bloom TABLE maintained incrementally below — never built by
+    # collecting hashes to the driver.
     links = links.join(selected.select("url"), "url", "left_anti")
     seen_prior = wh.read(spark, "seen", upto=rnd - 1)
-    sidecar = build_bloom_sidecar(seen_prior) if seen_prior is not None else None
-    links = filter_unseen(spark, links, seen_prior, sidecar)
+    sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
+    links = filter_unseen(spark, links, seen_prior, sidecar_prev)
     remaining = gated.join(selected.select("url"), "url", "left_anti")
     links = links.join(remaining.select("url"), "url", "left_anti")
     new_pending = links.withColumn("discovered_round", F.lit(rnd)).select(
@@ -237,31 +250,85 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
 
     # per-partition lineage metrics (north rule): per-host_bucket counts at
-    # each stage of this round
-    stages = {
-        "candidates": pending,
-        "selected": selected,
-        "new_links": frontier_written.filter(F.col("discovered_round") == rnd),
-        "frontier_next": frontier_written,
-    }
-    metric_rows = None
-    for stage, df in stages.items():
-        m = df.groupBy("host_bucket").agg(F.count("*").alias("n")).withColumn(
-            "stage", F.lit(stage)
+    # each stage of this round, in ONE fused job that scans each input once:
+    # * candidates = last round's frontier_next lineage (tiny metrics read —
+    #   the frontier is never rescanned just to count it);
+    # * new_links + frontier_next come from a single scan of the written
+    #   frontier (two aggregate columns, unpivoted via stack);
+    # * selected counts scan the checkpointed schedule slice.
+    prev_metrics = wh.read_round(spark, "metrics", rnd - 1)
+    if prev_metrics is not None:
+        cand_m = (
+            prev_metrics.drop("round")
+            .filter(F.col("stage") == "frontier_next")
+            .select("host_bucket", F.lit("candidates").alias("stage"), "n")
         )
-        metric_rows = m if metric_rows is None else metric_rows.unionByName(m)
-    # one compute job: collect the (NB × stages)-row lineage, then both the
-    # metrics table and the commit totals come from it (no extra count jobs)
+    else:  # pre-lineage warehouse resume: count the pending frontier directly
+        cand_m = (
+            pending.groupBy("host_bucket")
+            .agg(F.count("*").alias("n"))
+            .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+        )
+    sel_m = (
+        selected.groupBy("host_bucket")
+        .agg(F.count("*").alias("n"))
+        .select("host_bucket", F.lit("selected").alias("stage"), "n")
+    )
+    fw_m = (
+        frontier_written.groupBy("host_bucket")
+        .agg(
+            F.count("*").alias("fn"),
+            F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+        )
+        .selectExpr(
+            "host_bucket", "stack(2, 'frontier_next', fn, 'new_links', nl) AS (stage, n)"
+        )
+    )
+    metric_rows = cand_m.unionByName(sel_m).unionByName(fw_m)
+    # one compute job: collect the (NB × stages)-row lineage, then the
+    # metrics table, the commit totals, AND the Bloom-sidecar update plan
+    # all come from it (no extra count jobs)
     collected = metric_rows.collect()
     wh.write(
         "metrics",
         spark.createDataFrame(collected, metric_rows.schema),
         rnd,
     )
-    totals = {s: 0 for s in stages}
+    totals = {s: 0 for s in ("candidates", "selected", "new_links", "frontier_next")}
     for r in collected:
         totals[r["stage"]] += r["n"]
     n_selected = totals["selected"]
+
+    # --- Bloom sidecar update (incremental, distributed; frontier/seen.py).
+    # The overflow decision runs on manifest metadata (per-bucket counters)
+    # + the per-bucket selected counts just collected — zero extra jobs.
+    new_hashes = selected.select("host_bucket", "url_hash")
+    n_new = {
+        int(r["host_bucket"]): int(r["n"]) for r in collected if r["stage"] == "selected"
+    }
+    prev_meta = {
+        int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()
+    }
+    if seen_prior is not None and (sidecar_prev is None or not prev_meta):
+        # resume from a pre-sidecar warehouse (rare): rebuild every bucket
+        # from the full seen set; one metadata-scale bucket-count job
+        full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
+        full_counts = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in full.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        bloom_meta, _ = plan_update({}, full_counts)
+        sidecar_next = update_bloom_sidecar(full, None)
+    else:
+        bloom_meta, overflow = plan_update(prev_meta, n_new)
+        full = None
+        if overflow:
+            full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
+        sidecar_next = update_bloom_sidecar(new_hashes, sidecar_prev, overflow, full)
+    wh.write("seen_bloom", sidecar_next, rnd)
+
     wh.commit(
         rnd,
         {
@@ -269,6 +336,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "fetched": n_selected,
             "new_links": totals["new_links"],
             "frontier_size": totals["frontier_next"],
+            "bloom_meta": {str(b): list(v) for b, v in bloom_meta.items()},
             **({"exhausted": True} if n_selected == 0 else {}),
         },
     )

@@ -1,4 +1,4 @@
-"""URL-seen set: numpy Bloom prefilter + exact anti-join.
+"""URL-seen set: distributed per-bucket Bloom sidecar + exact anti-join.
 
 Replaces the reference's per-row membership probes — the O(n) Python-list
 scan (pages/Preprocess_scripts/GenerateUserUseridDict.py:53) and the
@@ -9,26 +9,61 @@ north rule's design:
 * EXACTNESS is always decided by a ``left_anti`` join on the canonical URL
   string against the committed seen table (hash/Bloom false positives can
   never corrupt membership);
-* a Bloom filter over the 60-bit url_hash acts as a shuffle-avoiding
-  prefilter: candidate links that are DEFINITE misses skip the anti-join
-  entirely (at 10^10-frontier scale the overwhelming majority of new links
-  are definite misses, so the expensive shuffle only sees the "maybe" set).
+* a per-``host_bucket`` Bloom sidecar TABLE over the 60-bit url_hash acts as
+  a shuffle-avoiding prefilter: candidate links that are DEFINITE misses
+  skip the anti-join entirely (at 10^10-frontier scale the overwhelming
+  majority of new links are definite misses, so the expensive shuffle only
+  sees the "maybe" set).
 
-The Bloom bitset is built per host_bucket with vectorized numpy (no per-row
-Python) and shipped to executors as a broadcast variable probed inside an
-Arrow-batched pandas UDF. Double hashing h_i = h1 + i*h2 (Kirsch–Mitzenmacher,
-public construction) over the already-uniform md5-derived url_hash.
+Everything is distributed — no driver-side collect of hash data, ever:
+
+* the sidecar is BUILT incrementally by a per-bucket cogrouped
+  ``applyInPandas``: each round ORs only that round's new hashes into the
+  previous round's bitset (vectorized numpy inside the group function).
+  A bucket whose item count outgrows its sized capacity is REBUILT from a
+  bucket-filtered scan of the full seen table with doubled capacity —
+  amortized O(total hashes) over the whole crawl, and only the overflowing
+  buckets are ever rescanned;
+* the overflow decision needs only per-bucket ``(n_items, cap)`` counters,
+  which ride in the round's commit manifest (``bloom_meta``) — metadata
+  scale, no extra Spark job. On a real cluster these live as Iceberg
+  snapshot properties of the sidecar table;
+* the PROBE is a per-bucket cogroup of candidates against the sidecar: one
+  bitset crosses per bucket-partition (never one copy per row), and the
+  candidate shuffle is on host_bucket — the same key the frontier table is
+  clustered on.
+
+Double hashing h_i = h1 + i*h2 (Kirsch–Mitzenmacher, public construction)
+over the already-uniform md5-derived url_hash.
 """
 
 from __future__ import annotations
 
 import math
+from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: fresh/rebuilt buckets are sized for GROWTH× their current item count, so
+#: rebuilds halve in frequency as a bucket grows (amortized-linear total work)
+MIN_CAP = 4096
+GROWTH = 2
+FPP = 0.01
+
+SIDECAR_SCHEMA = T.StructType(
+    [
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("m_bits", T.LongType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("cap", T.LongType()),
+        T.StructField("n_items", T.LongType()),
+        T.StructField("bits", T.BinaryType()),
+    ]
+)
 
 
 class NumpyBloom:
@@ -40,7 +75,7 @@ class NumpyBloom:
         self.bits = bits if bits is not None else np.zeros((self.m + 7) // 8, dtype=np.uint8)
 
     @classmethod
-    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "NumpyBloom":
+    def sized_for(cls, n_items: int, fpp: float = FPP) -> "NumpyBloom":
         n = max(n_items, 1)
         m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
         k = max(1, round(m / n * math.log(2)))
@@ -69,64 +104,165 @@ class NumpyBloom:
 
     @classmethod
     def from_bytes(cls, m_bits: int, k: int, blob: bytes) -> "NumpyBloom":
-        return cls(m_bits, k, np.frombuffer(blob, dtype=np.uint8).copy())
+        return cls(m_bits, k, np.frombuffer(bytes(blob), dtype=np.uint8).copy())
 
 
-def build_bloom_sidecar(seen_hashes: DataFrame, fpp: float = 0.01) -> dict[int, tuple[int, int, bytes]]:
-    """Per-host_bucket Bloom sidecar from the seen table.
+def _cap_for(n_items: int) -> int:
+    return max(MIN_CAP, GROWTH * int(n_items))
 
-    Returns {host_bucket: (m_bits, k, bitset_bytes)} — small (NB entries),
-    suitable for a broadcast variable. Built from a per-bucket collect of
-    url_hash arrays via Arrow (the sidecar is metadata-scale: even at 10^10
-    URLs / 4096 buckets it is a bounded per-bucket bitset, and on a real
-    cluster this builder becomes a per-bucket applyInPandas writing an
-    Iceberg sidecar table — same layout, no driver collect).
+
+def plan_update(
+    prev_meta: dict[int, tuple[int, int]] | None, n_new: dict[int, int]
+) -> tuple[dict[int, tuple[int, int]], list[int]]:
+    """Pure-metadata twin of the distributed update: next per-bucket
+    ``(n_items, cap)`` counters and the overflow buckets to rebuild.
+
+    ``prev_meta``: {bucket: (n_items, cap)} from the previous round's commit
+    manifest (or None/{} before the first round). ``n_new``: this round's
+    per-bucket new-hash counts (already computed by the round's lineage
+    metrics job). The cap formulas here and in :func:`update_bloom_sidecar`
+    MUST stay identical — a test pins manifest meta == sidecar table.
     """
-    pdf = seen_hashes.select("host_bucket", "url_hash").toPandas()
-    out: dict[int, tuple[int, int, bytes]] = {}
-    for bucket, grp in pdf.groupby("host_bucket"):
-        bloom = NumpyBloom.sized_for(len(grp), fpp)
-        bloom.add(grp["url_hash"].to_numpy(dtype=np.int64))
-        out[int(bucket)] = (bloom.m, bloom.k, bloom.to_bytes())
-    return out
+    prev_meta = prev_meta or {}
+    nxt: dict[int, tuple[int, int]] = dict(prev_meta)
+    overflow: list[int] = []
+    for b, n in n_new.items():
+        if n == 0:
+            continue
+        if b not in prev_meta:
+            nxt[b] = (n, _cap_for(n))
+        else:
+            pn, pcap = prev_meta[b]
+            total = pn + n
+            if total > pcap:
+                overflow.append(b)
+                nxt[b] = (total, _cap_for(total))
+            else:
+                nxt[b] = (total, pcap)
+    return nxt, sorted(overflow)
+
+
+def update_bloom_sidecar(
+    new_hashes: DataFrame,
+    prev_sidecar: DataFrame | None,
+    overflow_buckets: Iterable[int] = (),
+    full_hashes: DataFrame | None = None,
+    fpp: float = FPP,
+    min_cap: int = MIN_CAP,
+) -> DataFrame:
+    """Next sidecar state: prev ∪ this round's hashes, per bucket, distributed.
+
+    * ``new_hashes``/``full_hashes``: (host_bucket, url_hash) rows —
+      round-sized and crawl-sized respectively; ``full_hashes`` is only
+      SCANNED for the buckets in ``overflow_buckets`` (bucket-filtered).
+    * Buckets untouched this round carry forward unchanged (cogroup
+      right-only groups). Incremental buckets OR the new keys into the
+      existing bitset — no false negatives, by Bloom algebra. Overflow
+      buckets rebuild fresh at the doubled capacity.
+    """
+    overflow = sorted(int(b) for b in overflow_buckets)
+
+    def _h(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("host_bucket").cast("int").alias("host_bucket"), "url_hash"
+        )
+
+    hashes = _h(new_hashes)
+    if overflow:
+        assert full_hashes is not None, "overflow rebuild needs the full seen hashes"
+        hashes = (
+            hashes.filter(~F.col("host_bucket").isin(overflow))
+            .withColumn("is_full", F.lit(False))
+            .unionByName(
+                _h(full_hashes)
+                .filter(F.col("host_bucket").isin(overflow))
+                .withColumn("is_full", F.lit(True))
+            )
+        )
+    else:
+        hashes = hashes.withColumn("is_full", F.lit(False))
+
+    def build(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:  # untouched bucket: carry the previous state
+            return right
+        keys = left["url_hash"].to_numpy(dtype=np.int64)
+        bucket = int(left["host_bucket"].iloc[0])
+        rebuild = bool(left["is_full"].iloc[0]) or len(right) == 0
+        if rebuild:
+            cap = max(min_cap, GROWTH * len(keys))
+            bloom = NumpyBloom.sized_for(cap, fpp)
+            n_items = len(keys)
+        else:
+            r = right.iloc[0]
+            bloom = NumpyBloom.from_bytes(int(r["m_bits"]), int(r["k"]), r["bits"])
+            cap = int(r["cap"])
+            n_items = int(r["n_items"]) + len(keys)
+        bloom.add(keys)
+        return pd.DataFrame(
+            {
+                "host_bucket": [bucket],
+                "m_bits": [bloom.m],
+                "k": [bloom.k],
+                "cap": [cap],
+                "n_items": [n_items],
+                "bits": [bloom.to_bytes()],
+            }
+        )
+
+    if prev_sidecar is None:
+        spark = new_hashes.sparkSession
+        prev_sidecar = spark.createDataFrame([], SIDECAR_SCHEMA)
+    else:  # trim e.g. the warehouse's round partition column
+        prev_sidecar = prev_sidecar.select(*[f.name for f in SIDECAR_SCHEMA.fields])
+    return (
+        hashes.groupby("host_bucket")
+        .cogroup(prev_sidecar.groupby("host_bucket"))
+        .applyInPandas(build, SIDECAR_SCHEMA)
+    )
 
 
 def filter_unseen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame | None,
-    bloom_sidecar: dict[int, tuple[int, int, bytes]] | None,
+    sidecar: DataFrame | None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url is NOT in ``seen`` (exact).
 
     candidates must carry (url, url_hash, host_bucket). With a Bloom sidecar,
     definite misses bypass the anti-join shuffle; "maybe" rows go through the
-    exact ``left_anti`` join. Without one (or without seen), degenerate paths.
+    exact ``left_anti`` join. The probe cogroups candidates with the sidecar
+    on host_bucket — one bitset per bucket-partition crosses to Python, and
+    the shuffle key matches the frontier table's clustering.
     """
     if seen is None:
         return candidates
-    if not bloom_sidecar:
+    if sidecar is None:
         return candidates.join(seen.select("url"), "url", "left_anti")
 
-    bc = spark.sparkContext.broadcast(bloom_sidecar)
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
 
-    @F.pandas_udf(T.BooleanType())
-    def maybe_seen(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
-        side = bc.value
-        out = np.zeros(len(bucket), dtype=bool)
-        bnp = bucket.to_numpy()
-        hnp = url_hash.to_numpy(dtype=np.int64)
-        for b in np.unique(bnp):
-            entry = side.get(int(b))
-            if entry is None:
-                continue
-            m, k, blob = entry
-            mask = bnp == b
-            out[mask] = NumpyBloom.from_bytes(m, k, blob).maybe_contains(hnp[mask])
-        return pd.Series(out)
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) and len(right):
+            r = right.iloc[0]
+            bloom = NumpyBloom.from_bytes(int(r["m_bits"]), int(r["k"]), r["bits"])
+            flags = bloom.maybe_contains(left["url_hash"].to_numpy(dtype=np.int64))
+        else:  # no sidecar state for the bucket ⇒ nothing seen there
+            flags = np.zeros(len(left), dtype=bool)
+        left = left.copy()
+        left["_maybe_seen"] = flags
+        return left
 
-    flagged = candidates.withColumn(
-        "_maybe_seen", maybe_seen(F.col("host_bucket"), F.col("url_hash"))
+    side = sidecar.withColumn(
+        "host_bucket",
+        F.col("host_bucket").cast(candidates.schema["host_bucket"].dataType),
+    )
+    flagged = (
+        candidates.groupby("host_bucket")
+        .cogroup(side.groupby("host_bucket"))
+        .applyInPandas(probe, out_schema)
     )
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybes = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
