@@ -35,7 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "knn_bruteforce",
     "ann_lsh_bucketed",
     "lang_id_heuristic",

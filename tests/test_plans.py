@@ -66,12 +66,33 @@ def test_topk_single_shuffle(spark):
     assert "WindowGroupLimit" in plan
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh"]
+)
 def test_lsh_paths_avoid_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, (
         f"{name} must candidate via equi-join bucketing, never n² pairs"
     )
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} must not plan an all-pairs nested-loop join"
+    )
+
+
+def test_no_headline_query_plans_all_pairs(spark):
+    """No headline bench query may materialize the n² pair space. The one
+    sanctioned nested-loop is knn_bruteforce, whose loop side is the bounded
+    broadcast query set (per-batch scoring pattern), and the tiny-dim
+    crossJoin in keyword-style queries."""
+    import bench
+
+    for name in bench.HEADLINE:
+        if name.startswith("crawl") or name == "multimodal_decode":
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name != "knn_bruteforce":
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_global_topk_never_single_partition_window(spark):

@@ -46,6 +46,49 @@ def test_pd_canonicalize_twin():
         assert got == canonicalize_url(raw, base if base else "http://fallback.example/")
 
 
+ABS_HREFS = [
+    # absolute http(s) hrefs, incl. ports and dot-segment paths: the
+    # pd_canonicalize fast path (skip urljoin for absolute URLs) must be
+    # byte-equal to the full resolve path
+    "http://e.com/a/../b",
+    "http://e.com/a/./b",
+    "http://e.com/../x",
+    "https://e.com:8443/p/./q",
+    "http://e.com:80/a/../b?z=1&a=2#f",
+    "https://e.com:443/x",
+    "http://e.com",
+    "http://user@e.com:8080/p",
+]
+
+
+def test_pd_canonicalize_absolute_fast_path_parity():
+    """pd_canonicalize(u, base) == canonicalize_url(u, base) for absolute
+    hrefs — the claimed semantics-preserving fast path, asserted."""
+    bases = ["http://base.org/dir/page", "https://other.net/"]
+    for b in bases:
+        out = pd_canonicalize(pd.Series(ABS_HREFS), pd.Series([b] * len(ABS_HREFS)))
+        for u, got in zip(ABS_HREFS, out):
+            assert got == canonicalize_url(u, b), (u, b)
+
+
+def test_host_regexp_parity_with_host_of(spark):
+    """crawl.py derives host from canonical URLs with a JVM regexp; it must
+    equal urls.host_of (the udf_host / simulator path) incl. ports."""
+    import pyspark.sql.functions as F
+
+    from twittercrawler_spark.frontier.crawl import _HOST_RE
+
+    urls = [canonicalize_url(u) for u in ABS_HREFS] + [c[2] for c in CASES if c[2]]
+    urls = sorted(set(urls))
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: r["h"]
+        for r in df.select("url", F.regexp_extract("url", _HOST_RE, 1).alias("h")).collect()
+    }
+    for u in urls:
+        assert got[u] == host_of(u), u
+
+
 def test_host_of():
     assert host_of("http://example.com:8080/p") == "example.com:8080"
     assert host_of("http://example.com/p") == "example.com"

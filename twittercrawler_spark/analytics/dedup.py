@@ -105,8 +105,13 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    # shingle set reused by 3 sub-plans → materialize once
-    hs = _shingle_hashes(spark, sf).select("doc_id", "s").persist()
+    # The shingle set feeds 3 sub-plans and is deliberately RECOMPUTED from
+    # the column-pruned parquet scan each time rather than persisted: the
+    # explode+md5 is map-side codegen work with no shuffle, a persisted copy
+    # would own executor storage memory for the rest of the session (query
+    # constructors can't unpersist), and at corpus scale the exploded
+    # shingle set wouldn't fit in cache anyway.
+    hs = _shingle_hashes(spark, sf).select("doc_id", "s")
     sz = hs.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = hs.select(F.col("doc_id").alias("x"), "s")
     b = hs.select(F.col("doc_id").alias("y"), "s")
@@ -161,8 +166,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # shingle hashes feed the signature build AND the verify join → persist
-    hs = _shingle_hashes(spark, sf).persist()
+    # shingle hashes feed the signature build AND the verify join; recomputed
+    # from the scan, not persisted (see dedup_ngram_jaccard note)
+    hs = _shingle_hashes(spark, sf)
     # all k minima in ONE groupBy pass (k aggregate columns beats a k-way
     # row explosion ~10×: map-side partial min, no extra shuffle rows);
     # values identical to the oracle's per-i min formulation
@@ -273,10 +279,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     fp = th.groupBy("doc_id").agg(*bit_sums).select(
         "doc_id", f_expr.cast("bigint").alias("f")
     )
-    ks = F.broadcast(spark.range(0, 4).select(F.col("id").cast("int").alias("k")))
-    ch = fp.crossJoin(ks).select(
-        "doc_id", "f", "k", F.expr("(f >> (k * 8)) & 255").alias("chunk")
-    )
+    # 4 chunk rows per doc via a literal-array explode (pure projection —
+    # no join node at all for the constant chunk-index dimension)
+    ch = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.array(*[F.lit(k).cast("int") for k in range(4)])).alias("k"),
+    ).select("doc_id", "f", "k", F.expr("(f >> (k * 8)) & 255").alias("chunk"))
     ca = ch.select(F.col("doc_id").alias("x"), F.col("f").alias("fx"), "k", "chunk")
     cb = ch.select(F.col("doc_id").alias("y"), F.col("f").alias("fy"), "k", "chunk")
     cand = (
@@ -328,6 +337,9 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    # SMALL-SCALE ORACLE SHAPE ONLY: the all-pairs join is O(n²) and is
+    # deliberately excluded from the headline bench set. The scale path is
+    # similarity.dedup_embedding_lsh (bucketed candidates + exact verify).
     # Higher-order-function folds are interpreted (not codegen'd): keep the
     # per-pair work to ONE dot-product fold by precomputing norms per vector
     # and materializing the cosine column once before filter + round.

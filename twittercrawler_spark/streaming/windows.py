@@ -44,9 +44,13 @@ def stream_minute_counts(
 ):
     """Per-minute event counts as a streaming query on a file source.
 
-    Watermark of 10 minutes: late rows beyond it are dropped from the
-    aggregation state (the reference has NO late-data story — its counters
-    simply mutate; the watermark is the principled replacement).
+    Output mode is ``complete`` so the memory-sink table equals the batch
+    twin exactly (the stream==batch test contract). In complete mode the
+    watermark neither drops late rows nor evicts window state — every
+    window is retained and re-emitted. A production deployment with a real
+    sink would run ``update``/``append`` mode, where this same 10-minute
+    watermark bounds state and drops late data; here it only documents the
+    intended production lateness budget.
     """
     schema = spark.read.parquet(events_dir).schema
     stream = (
