@@ -80,3 +80,42 @@ def test_recursive_file_lookup(spark, tmp_path):
     )
     assert df.count() == 3
     assert {r["v"] for r in df.collect()} == {"a/x", "a/y", "b"}
+
+
+def test_pylit_lines_source(spark, tmp_path):
+    """S4 variant: Python-dict-literal dump lines (ast.literal_eval path,
+    ref User Based Dashboard.py:94-108) with malformed-skip semantics."""
+    from twittercrawler_spark.sources.lines import read_pylit_lines
+
+    p = tmp_path / "dump.txt"
+    lines = [
+        "{'id': 1, 'text': 'hello', 'ok': True}",
+        "{'id': 2, 'text': None, 'extra': [1, 2]}",
+        "{'id': 3, 'text': 'quoted \\'x\\''}",
+        "not a literal at all",
+        "{'id': 4, 'text': 'trailing",  # syntax error
+        "[1, 2, 3]",  # literal but not a dict
+        "{'text': 'no id'}",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_pylit_lines(spark, str(p), "id long, text string")
+    rows = {r["id"]: r["text"] for r in df.collect()}
+    assert rows == {1: "hello", 2: None, 3: "quoted 'x'", None: "no id"}
+
+
+def test_zip_lines_source(spark, tmp_path):
+    """S3 zip variant (ref Functions.py:20-33 zip_open): archives → lines."""
+    import zipfile
+
+    from twittercrawler_spark.sources.lines import read_zip_lines
+
+    for i in range(2):
+        with zipfile.ZipFile(tmp_path / f"dump{i}.zip", "w") as zf:
+            zf.writestr(f"part{i}/a.txt", "l1\nl2\n")
+            zf.writestr(f"part{i}/b.txt", "only\n")
+    (tmp_path / "ignore.txt").write_text("not a zip")
+    df = read_zip_lines(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    got = {(r["member"], r["line_no"], r["line"]) for r in rows}
+    assert ("part0/a.txt", 2, "l2") in got and ("part1/b.txt", 1, "only") in got

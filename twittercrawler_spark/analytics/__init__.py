@@ -5,9 +5,18 @@ and the crawl-engine outputs, each as (Spark program, DuckDB oracle SQL).
 
 from __future__ import annotations
 
-from . import crawl_queries, dedup, graph, multimodal, similarity, star, textstats
+from . import (
+    classify,
+    crawl_queries,
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    star,
+    textstats,
+)
 
-_MODULES = [star, graph, dedup, similarity, textstats, multimodal, crawl_queries]
+_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, crawl_queries]
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}

@@ -604,6 +604,42 @@ def props_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# A1 render — the reference's multi-indexed (topic × lang) counts frame
+# (create_counts_df, PreprocessDump.py:21-34): groupBy().pivot().count()
+# with the pivot values pinned (no discovery pass — at scale an unpinned
+# pivot means an extra distinct job over the fact table).
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@q(
+    "doc_topic_lang_pivot",
+    f"""
+    WITH topics(topic, kw) AS (VALUES {_TOPIC_SQL_ROWS}),
+    hit AS (
+      SELECT DISTINCT doc_id, topic
+      FROM documents JOIN topics ON contains(lower(text), kw)),
+    allt AS (
+      SELECT doc_id, topic FROM hit
+      UNION ALL
+      SELECT doc_id, 'other' AS topic FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)),
+    j AS (SELECT a.topic, d.lang FROM allt a JOIN documents d USING (doc_id))
+    SELECT topic,
+           {", ".join(
+               f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS {lg}"
+               for lg in _LANGS
+           )}
+    FROM j GROUP BY topic
+    """,
+)
+def doc_topic_lang_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    topics = doc_topics(spark, sf)
+    j = topics.join(d.select("doc_id", "lang"), "doc_id")
+    out = j.groupBy("topic").pivot("lang", _LANGS).count().na.fill(0)
+    return out.select("topic", *[F.col(lg).cast("bigint").alias(lg) for lg in _LANGS])
+
+
 # Grouping sets: ROLLUP over the dimension chain (not in the reference —
 # Catalyst gives it free; included for engine completeness, SURVEY §2.4).
 @q(
@@ -632,6 +668,47 @@ def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# CUBE twin of rollup_revenue (SURVEY §2.4 names both): all four grouping
+# sets — (region, nation), (region), (nation), () — in one pass.
+@q(
+    "cube_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, n_name)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    c = F.broadcast(t(spark, sf, "customer"))
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        j.cube("r_name", "n_name")
         .agg(
             F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
