@@ -54,7 +54,10 @@ CRAWL_HOSTS = 2_000
 CRAWL_LINKS = 4
 CRAWL_QUOTA = 200_000  # quota >= hot-host pending: full wave in one round
 BENCH_PAGES, BENCH_WORDS = 40_000, 1_000
-SCALE_PAGES, SCALE_WORDS = 150_000, 4_000
+# scaling-evidence corpus: big enough that the fixed per-round floor
+# (~5 s of scheduler/metrics/commit jobs) is a measured-small fraction —
+# production rounds are 10^7-10^9 urls, so larger is the honest direction
+SCALE_PAGES, SCALE_WORDS = 300_000, 4_000
 
 # bench sessions split parquet finer than the 128 MB default so scan + UDF
 # stages can use every core (corpus files are small relative to real CC data)
@@ -142,6 +145,13 @@ def bench_crawl(spark, corpus: str, trials: int = 1) -> dict:
     }
 
 
+def _force(df) -> None:
+    """Materialize EVERY column of the result: a noop-sink write, not
+    .count() (under a count Catalyst may prune expensive projection columns,
+    flattering projection-heavy queries)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -153,24 +163,39 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2 with a FRESH plan per trial (new DataFrame lineage — no
+        # shuffle/exchange reuse across trials): the sandbox VM has noisy
+        # neighbors and the metric of interest is the engine's steady-state
+        # time, not the host's jitter. Warm OS page cache is deliberate.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     spark.stop()
 
-    # The crawl round is Python-worker heavy; this box's measured parallel
-    # capacity tops out near 8 concurrent worker processes + JVM (see
-    # BENCH/BASELINE.md hardware curve) — local[32] is 2x SLOWER. Use the
-    # measured-best parallelism for the throughput number, recorded below.
-    crawl_cores = min(cpus, 8)
+    # Crawl metric at the driver-contract parallelism ($SPARK_GRAFT_CPUS).
+    # NOTE this box's measured parallel capacity tops out near 8 concurrent
+    # Python workers + JVM (shared/SMT vCPUs, see BENCH/BASELINE.md hardware
+    # curve), so when cpus > 8 the 8-core throughput is ALSO reported as
+    # crawl_urls_per_sec_best8 — the contract number stays the headline.
     corpus = ensure_bench_corpus()
     spark = get_spark(
-        "bench_crawl", cores=crawl_cores, shuffle_partitions=crawl_cores,
+        "bench_crawl", cores=cpus, shuffle_partitions=min(cpus, 64),
         extra_conf=BENCH_CONF,
     )
     crawl = bench_crawl(spark, corpus, trials=2)
-    crawl["crawl_cores"] = crawl_cores
+    crawl["crawl_cores"] = cpus
     spark.stop()
+    if cpus > 8:
+        spark = get_spark(
+            "bench_crawl8", cores=8, shuffle_partitions=8, extra_conf=BENCH_CONF
+        )
+        c8 = bench_crawl(spark, corpus, trials=2)
+        spark.stop()
+        crawl["crawl_urls_per_sec_best8"] = c8["crawl_urls_per_sec"]
+        crawl["crawl_round_sec_best8"] = c8["crawl_round_sec"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

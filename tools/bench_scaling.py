@@ -1,31 +1,25 @@
-"""Scaling-efficiency evidence: the SAME crawl round at N and 4N cores.
+"""Scaling-efficiency evidence: the SAME crawl round at several core counts.
 
 The north rule requires ≥0.8 throughput scaling efficiency from N to 4N
-executors. No real cluster exists in this sandbox, so (per BASELINE.md) we
-run the identical job — one politeness-budgeted fetch+dedup+extract round
-over the full seed wave on the same corpus, same seed — at two local[]
-parallelism levels and report throughput at both plus
-``(thru_4N / thru_N) / 4``.
+executors, evidenced in this sandbox (BASELINE.md) by running the identical
+job at `local[8]` (N) and `local[32]` (4N). This tool measures BOTH that
+spec'd step and a `local[2]`→`local[8]` step, and reports the two honestly:
 
-Methodology notes (all recorded in BENCH/BASELINE.md):
+* **8→32 (the spec'd step)** is reported as-is. Note the box advertises 32
+  vCPUs but they are shared/SMT: its own measured hardware curve (pure
+  multiprocessing regex work, NO Spark) is only 0.77 efficient for 8→32
+  processes — the bar is above the machine's ceiling for ANY job at that
+  step, so the result is labeled met/unmet together with that ceiling.
+* **2→8 (hardware proxy)** stays inside the box's real parallel capacity at
+  both levels (hardware curve 0.84 for 2→8), so it is the honest stand-in
+  for "adding executors adds real cores".
 
-* **N=2 → 4N=8.** The box advertises 32 vCPUs but its measured hardware
-  parallel-throughput curve (pure multiprocessing regex work, no Spark) is
-  0.84 efficient for 2→8 processes, 0.89 for 4→16, 0.77 for 8→32 —
-  shared/SMT vCPUs. On top of the N worker processes, the Spark JVM itself
-  burns cores (scan, Arrow, shuffle, GC), so the measured step must leave
-  headroom: at N=2→8 the JVM+workers stay within the box's real parallel
-  capacity at BOTH levels, making it the honest stand-in for N→4N
-  executors (adding executors adds real cores; adding local[] threads
-  beyond the machine's capacity does not).
-* **Interleaved A/B trials, best-of-k.** The sandbox VM has noisy
-  neighbors (the same job varies ~2× minutes apart). Trials alternate
-  4/16/4/16… inside one process and each level takes its minimum — drift
-  hits both levels equally and the minimum approximates the uncontended
-  machine.
-* The frontier warehouse is bootstrapped once (unmetered, deterministic)
-  and copied per trial; Python workers are warmed with a throwaway UDF job
-  before each metered round.
+Methodology: deterministic corpus (seed=42), frontier seeded with every URL
+so round 1 is a full fetch wave; warehouse bootstrapped once (unmetered) and
+copied per trial; Python workers warmed before metering; trials alternate
+across levels inside one process (noisy-neighbor drift hits all levels
+equally) and each level takes its minimum. An isolated scan→extract
+measurement separates the compute path from the fixed per-round floor.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 """
@@ -42,8 +36,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CORES = 2
-N4_CORES = 8
+LEVELS = [2, 8, 32]
 CYCLES = 3
 
 
@@ -51,11 +44,10 @@ def _session(cores: int):
     import bench
     from twittercrawler_spark.session import get_spark
 
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.ui.showConsoleProgress"] = "false"
     return get_spark(
-        f"scaling_{cores}",
-        cores=cores,
-        shuffle_partitions=cores,
-        extra_conf=bench.BENCH_CONF,
+        f"scaling_{cores}", cores=cores, shuffle_partitions=cores, extra_conf=conf
     )
 
 
@@ -95,7 +87,7 @@ def main() -> None:
     cfg = CrawlConfig(per_host_per_round=bench.CRAWL_QUOTA, rounds=1, num_buckets=64)
 
     wh_base = tempfile.mkdtemp(prefix="scale_wh_base_")
-    spark = _session(N4_CORES)
+    spark = _session(8)
     t0 = time.time()
     bootstrap(
         spark,
@@ -108,10 +100,10 @@ def main() -> None:
     t_bootstrap = time.time() - t0
     spark.stop()
 
-    times: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
+    times: dict[int, list[float]] = {c: [] for c in LEVELS}
     fetched = None
     for _cycle in range(CYCLES):
-        for cores in (N_CORES, N4_CORES):
+        for cores in LEVELS:
             spark = _session(cores)
             # warm python workers + JIT before metering
             from pyspark.sql import functions as F
@@ -133,87 +125,99 @@ def main() -> None:
             spark.stop()
     shutil.rmtree(wh_base, ignore_errors=True)
 
-    # compute-path isolation: same corpus, extract stage only
-    ex_n = measure_extract_stage(corpus, N_CORES)
-    ex_4n = measure_extract_stage(corpus, N4_CORES)
-    ex_eff = (ex_n / ex_4n) / (N4_CORES / N_CORES)
+    # compute-path isolation at the proxy step
+    ex_2 = measure_extract_stage(corpus, 2)
+    ex_8 = measure_extract_stage(corpus, 8)
+    ex_eff = (ex_2 / ex_8) / 4
 
-    t_n = min(times[N_CORES])
-    t_4n = min(times[N4_CORES])
-    thru_n = fetched / t_n
-    thru_4n = fetched / t_4n
-    eff = (thru_4n / thru_n) / (N4_CORES / N_CORES)
+    best = {c: min(times[c]) for c in LEVELS}
+    thru = {c: fetched / best[c] for c in LEVELS}
+    eff_spec = (thru[32] / thru[8]) / 4  # the BASELINE.md-spec'd step
+    eff_proxy = (thru[8] / thru[2]) / 4  # the hardware-honest step
     summary = {
-        "throughput_at_N": round(thru_n, 1),
-        "throughput_at_4N": round(thru_4n, 1),
-        "scaling_efficiency": round(eff, 3),
-        "extract_stage_sec_N": round(ex_n, 2),
-        "extract_stage_sec_4N": round(ex_4n, 2),
-        "extract_stage_efficiency": round(ex_eff, 3),
-        "N_cores": N_CORES,
-        "N4_cores": N4_CORES,
         "urls": fetched,
-        "round_secs_N": [round(t, 2) for t in times[N_CORES]],
-        "round_secs_4N": [round(t, 2) for t in times[N4_CORES]],
+        "throughput": {str(c): round(thru[c], 1) for c in LEVELS},
+        "round_secs": {str(c): [round(t, 2) for t in times[c]] for c in LEVELS},
+        "spec_step_8_to_32_efficiency": round(eff_spec, 3),
+        "proxy_step_2_to_8_efficiency": round(eff_proxy, 3),
+        "extract_stage_sec_2": round(ex_2, 2),
+        "extract_stage_sec_8": round(ex_8, 2),
+        "extract_stage_2_to_8_efficiency": round(ex_eff, 3),
         "bootstrap_sec": round(t_bootstrap, 2),
     }
 
     import bench as b
 
+    spec_met = "MET" if eff_spec >= 0.8 else "NOT met on this box"
+    proxy_met = "MET" if eff_proxy >= 0.8 else "NOT met"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f_out:
         f_out.write(
             f"""# BENCH/BASELINE — crawl throughput scaling evidence
 
 Job: one politeness-budgeted frontier round (schedule → broadcast
-fetch-join → extract(text+links, one fused Arrow pandas UDF) → seen-set
-commit → link expansion → frontier merge) over a deterministic synthetic
-corpus ({b.SCALE_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
-~{b.SCALE_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with EVERY url so
-round 1 is a full fetch wave. Same input, same seed, alternating A/B trials
-at two parallelism levels inside one process, best of {CYCLES} per level —
-the sandbox stand-in for N vs 4N executors (BASELINE.md evidence plan).
-
-Why local[{N_CORES}] vs local[{N4_CORES}]: the box advertises 32 vCPUs but its measured
-hardware parallel-throughput curve (pure multiprocessing, no Spark) is
-1→4: 0.70, **2→8: 0.84**, 4→16: 0.89, 8→32: 0.77 efficient — shared/SMT
-vCPUs, and the Spark JVM's own threads (scan, Arrow, shuffle, GC) ride on
-top of the Python workers. 2→8 keeps JVM+workers within the machine's real
-parallel capacity at both levels, so it is the honest stand-in for adding
-executors (which add real cores).
+fetch-join → extract(text+links, one fused Arrow pandas UDF) → seen-set +
+Bloom-sidecar commit (overlapped thread) → link expansion → frontier merge
+→ lineage metrics) over a deterministic synthetic corpus
+({b.SCALE_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
+~{b.SCALE_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with
+EVERY url so round 1 is a full fetch wave. Same input, same seed,
+alternating trials across levels inside one process, best of {CYCLES} per
+level.
 
 | parallelism | urls fetched | round secs (trials) | best | throughput (urls/s) |
 |---|---|---|---|---|
-| local[{N_CORES}] (N) | {fetched:,} | {summary["round_secs_N"]} | {t_n:.2f} | {thru_n:,.0f} |
-| local[{N4_CORES}] (4N) | {fetched:,} | {summary["round_secs_4N"]} | {t_4n:.2f} | {thru_4n:,.0f} |
+| local[2] | {fetched:,} | {summary["round_secs"]["2"]} | {best[2]:.2f} | {thru[2]:,.0f} |
+| local[8] (N) | {fetched:,} | {summary["round_secs"]["8"]} | {best[8]:.2f} | {thru[8]:,.0f} |
+| local[32] (4N) | {fetched:,} | {summary["round_secs"]["32"]} | {best[32]:.2f} | {thru[32]:,.0f} |
 
-**Full-round scaling efficiency (thru_4N / thru_N) / 4 = {eff:.3f}**
-(target ≥ 0.8; hardware ceiling for this step ≈ 0.84 — see below).
+## The spec'd step (BASELINE.md): local[8] → local[32]
 
-**Compute-path scaling (scan → fused extract UDF, same corpus, isolated):
-{ex_n:.1f} s @ N → {ex_4n:.1f} s @ 4N ⇒ efficiency {ex_eff:.3f}.** This is the
-stage the metric names (fetch+dedup+extract compute); it scales at the
-hardware ceiling. The full-round number is dragged below 0.8 by two costs
-that do NOT grow with round size and therefore amortize away at production
-rounds (10^7-10^9 urls/round at the 10^10-frontier design point):
+**Efficiency (thru_32 / thru_8) / 4 = {eff_spec:.3f} — {spec_met}**
+(target ≥ 0.8).
 
-1. a fixed per-round floor (~4 s: scheduler windows, broadcast builds,
-   commit bookkeeping, ~9 Spark job launches) — constant regardless of
-   data volume;
-2. the sandbox's single shared local disk for warehouse writes — on a real
-   cluster, writes go to distributed storage whose bandwidth scales WITH
-   the executors (that is precisely why the engine's fetch path broadcasts
-   the schedule instead of shuffling html: the only non-scaling resource
-   left here is the one the sandbox cannot virtualize).
+Context, not excuse: the box advertises 32 vCPUs but they are shared/SMT
+with noisy neighbors. Its measured hardware parallel-throughput curve for
+PURE multiprocessing regex work (no Spark, no JVM) is 1→4: 0.70,
+2→8: 0.84, 4→16: 0.89, **8→32: 0.77** — i.e. the machine itself cannot
+reach 0.8 efficiency for the 8→32 step for ANY workload, before Spark's
+JVM threads (scan, Arrow, shuffle, GC) even enter. On hardware where 32
+execution slots are real (a cluster of 4× 8-core executors), the 2→8
+behavior below is the predictive number.
+
+## Hardware-honest proxy step: local[2] → local[8]
+
+**Full-round efficiency (thru_8 / thru_2) / 4 = {eff_proxy:.3f} — {proxy_met}**
+(hardware ceiling for this step ≈ 0.84).
+
+Compute-path isolation (scan → fused extract UDF, fresh plan per trial):
+{ex_2:.1f} s @ local[2] → {ex_8:.1f} s @ local[8] ⇒ efficiency {ex_eff:.3f}.
+
+Engineering that moved the full-round number (round 2):
+
+1. the seen-table write + Bloom-sidecar update run on a concurrent driver
+   thread overlapped with the fetch stage (they depend only on the
+   checkpointed schedule slice) — ~2 s of serialized floor removed;
+2. parquet file commits use the task-parallel v2 algorithm (the warehouse
+   manifest provides atomic visibility, so the driver-serial v1 rename
+   pass bought nothing);
+3. per-round lineage metrics are one fused job (candidates come from the
+   previous round's lineage instead of rescanning the frontier).
+
+Remaining gap to 1.0 is the fixed per-round floor (scheduler windows,
+broadcast build, ~7 job launches) plus the sandbox's single shared local
+disk for warehouse writes — both constant per round, so they amortize at
+production round sizes (10^7–10^9 urls/round at the 10^10-frontier design
+point), and on a real cluster writes go to distributed storage whose
+bandwidth scales WITH executors.
 
 Bootstrap (corpus URL canonicalization + host-bucket clustering, one-time
-unmetered indexing): {t_bootstrap:.1f} s at 4N.
+unmetered indexing): {t_bootstrap:.1f} s at local[8].
 
 Reference baseline for context (BASELINE.md): the reference crawler is
-politeness-bound at ≤ 50 tweets/s on a single process; this engine's
-round throughput above is the same fetch+dedup+extract pipeline,
-distributed, with the html bytes never shuffled (the schedule broadcasts
-to the data).
+politeness-bound at ≤ 50 tweets/s on a single process; this engine's round
+throughput above is the same fetch+dedup+extract pipeline, distributed,
+with the html bytes never shuffled (the schedule broadcasts to the data).
 """
         )
     print(json.dumps(summary))

@@ -32,6 +32,9 @@ Scale notes (100 TB / 10^10-URL design intent, tested at local scale):
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +48,27 @@ from ..sources.tables import Warehouse
 from .scheduler import select_per_host_topk, with_global_sequence
 from .seen import filter_unseen, plan_update, update_bloom_sidecar
 from .simulator import CrawlConfig
+
+class _StageTimer:
+    """Opt-in per-stage wall-clock trace (SPARK_GRAFT_TIMING=1): prints the
+    time between materialization points of a round — the tool behind the
+    scaling-evidence breakdown in BENCH/BASELINE.md."""
+
+    def __init__(self, label: str):
+        self.on = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+        self.label = label
+        self.t = time.time()
+
+    def lap(self, stage: str) -> None:
+        if self.on:
+            now = time.time()
+            print(f"[timing {self.label}] {stage}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+
+    def note(self, stage: str, sec: float) -> None:
+        if self.on:
+            print(f"[timing {self.label}] {stage}: {sec:.2f}s (overlapped)", flush=True)
+
 
 _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
 
@@ -130,6 +154,7 @@ def bootstrap(
 
 def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) -> bool:
     """Execute round ``rnd``; returns False when the frontier is exhausted."""
+    tm = _StageTimer(f"round {rnd}")
     pending = wh.read_round(spark, "frontier", rnd - 1)
     if pending is None:
         return False
@@ -164,6 +189,58 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
     # checkpoint once; its count arrives with the end-of-round metrics job
     selected = selected.localCheckpoint(eager=True)
+    tm.lap("schedule")
+
+    # The seen-table write and the Bloom-sidecar update depend ONLY on the
+    # checkpointed schedule slice plus committed prior state, so they run on
+    # a concurrent driver thread OVERLAPPED with the round's big fetch
+    # stage — Spark schedules both job groups onto free executor slots, and
+    # every output stays invisible until the manifest commit, so a failure
+    # on either path still aborts the round atomically.
+    seen_prior = wh.read(spark, "seen", upto=rnd - 1)
+    sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
+    prev_meta = {int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()}
+
+    def _seen_and_sidecar() -> dict[int, tuple[int, int]]:
+        t0 = time.time()
+        wh.write("seen", selected.select("url", "url_hash", "host_bucket"), rnd)
+        new_hashes = selected.select("host_bucket", "url_hash")
+        if seen_prior is not None and (sidecar_prev is None or not prev_meta):
+            # resume from a pre-sidecar warehouse (rare): rebuild every
+            # bucket from the full seen set
+            full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
+            counts = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in full.groupBy("host_bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            bloom_meta, _ = plan_update({}, counts)
+            sidecar_next = update_bloom_sidecar(full, None)
+        else:
+            # per-bucket counts of this round's hashes: a tiny job over the
+            # checkpointed slice, free in wall-clock terms under the overlap
+            n_new = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in new_hashes.groupBy("host_bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            bloom_meta, overflow = plan_update(prev_meta, n_new)
+            full = (
+                seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
+                if overflow
+                else None
+            )
+            sidecar_next = update_bloom_sidecar(new_hashes, sidecar_prev, overflow, full)
+        wh.write("seen_bloom", sidecar_next, rnd)
+        tm.note("seen+sidecar", time.time() - t0)
+        return bloom_meta
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    seen_fut = pool.submit(_seen_and_sidecar)
 
     # "fetch": ship the SCHEDULE to the DATA — the selected slice is
     # quota-bounded (politeness) and tiny next to the page corpus, so it
@@ -208,7 +285,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         rnd,
     )
     fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd)
-    wh.write("seen", selected.select("url", "url_hash", "host_bucket"), rnd)
+    tm.lap("fetch+extract+write")
 
     # expand: out-links → canonicalize vs base → max child priority per url
     links = (
@@ -230,8 +307,6 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # per-bucket Bloom TABLE maintained incrementally below — never built by
     # collecting hashes to the driver.
     links = links.join(selected.select("url"), "url", "left_anti")
-    seen_prior = wh.read(spark, "seen", upto=rnd - 1)
-    sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
     links = filter_unseen(spark, links, seen_prior, sidecar_prev)
     remaining = gated.join(selected.select("url"), "url", "left_anti")
     links = links.join(remaining.select("url"), "url", "left_anti")
@@ -247,6 +322,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     ).unionByName(new_pending)
     frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
     wh.write("frontier", frontier_next, rnd)
+    tm.lap("expand+frontier_write")
     frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
 
     # per-partition lineage metrics (north rule): per-host_bucket counts at
@@ -291,6 +367,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # metrics table, the commit totals, AND the Bloom-sidecar update plan
     # all come from it (no extra count jobs)
     collected = metric_rows.collect()
+    tm.lap("metrics_collect")
     wh.write(
         "metrics",
         spark.createDataFrame(collected, metric_rows.schema),
@@ -301,33 +378,11 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         totals[r["stage"]] += r["n"]
     n_selected = totals["selected"]
 
-    # --- Bloom sidecar update (incremental, distributed; frontier/seen.py).
-    # The overflow decision runs on manifest metadata (per-bucket counters)
-    # + the per-bucket selected counts just collected — zero extra jobs.
-    new_hashes = selected.select("host_bucket", "url_hash")
-    n_new = {
-        int(r["host_bucket"]): int(r["n"]) for r in collected if r["stage"] == "selected"
-    }
-    prev_meta = {
-        int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()
-    }
-    if seen_prior is not None and (sidecar_prev is None or not prev_meta):
-        # resume from a pre-sidecar warehouse (rare): rebuild every bucket
-        # from the full seen set; one metadata-scale bucket-count job
-        full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
-        full_counts = {
-            int(r["host_bucket"]): int(r["n"])
-            for r in full.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
-        }
-        bloom_meta, _ = plan_update({}, full_counts)
-        sidecar_next = update_bloom_sidecar(full, None)
-    else:
-        bloom_meta, overflow = plan_update(prev_meta, n_new)
-        full = None
-        if overflow:
-            full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
-        sidecar_next = update_bloom_sidecar(new_hashes, sidecar_prev, overflow, full)
-    wh.write("seen_bloom", sidecar_next, rnd)
+    # join the overlapped seen+sidecar thread (its failure fails the round
+    # BEFORE the commit); its bloom_meta counters go into the manifest
+    bloom_meta = seen_fut.result()
+    pool.shutdown()
+    tm.lap("join_seen_sidecar")
 
     wh.commit(
         rnd,

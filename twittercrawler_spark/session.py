@@ -53,6 +53,11 @@ def get_spark(
         # extra (parallel) CPU trades against the one resource that does
         # NOT scale with executors — storage bandwidth
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # task-side parallel file commit: the warehouse's own manifest commit
+        # (sources/tables.py) provides atomic visibility, so the slow
+        # driver-serial v1 rename pass buys nothing here — and at 100 TB the
+        # v1 single-threaded rename of thousands of files IS the job tail
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
