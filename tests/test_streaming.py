@@ -8,6 +8,7 @@ on. File source + availableNow trigger drains the fixture and stops.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from twittercrawler_spark.streaming.windows import (
@@ -113,3 +114,60 @@ def test_batch_twin_registered(name):
     from twittercrawler_spark.analytics import ALL_ORACLES, ALL_QUERIES
 
     assert name in ALL_QUERIES and name in ALL_ORACLES
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
+    """The production (append-mode) contract: a window is emitted exactly
+    once after the watermark passes it, its state is evicted, and a row
+    arriving later for that window is dropped — bounded state, principled
+    late-data story."""
+    import os as _os
+    import time as _time
+
+    from twittercrawler_spark.streaming.windows import stream_minute_counts_append
+
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write(name, stamps):
+        tbl = pa.table(
+            {"ts": pa.array([dt.datetime(2023, 3, 1, *s) for s in stamps],
+                            type=pa.timestamp("us"))}
+        )
+        pq.write_table(tbl, str(d / name))
+
+    # file 1 establishes max event time 11:00 → watermark 10:50; file 2's
+    # on-time row advances the watermark and FINALIZES the 10:00 window
+    # (append emits it, state evicted); file 3's 10:00:30 row arrives after
+    # finalization → guaranteed drop. (The watermark is a lower bound: a
+    # late row landing in the same batch that finalizes its window may still
+    # be absorbed — the guarantee attaches at emission, hence three files.)
+    write("f1.parquet", [(10, 0, 0), (11, 0, 0)])
+    write("f2.parquet", [(11, 2, 0)])
+    write("f3.parquet", [(10, 0, 30), (11, 3, 0)])
+    # force file-source ordering: strictly increasing mtimes
+    now = _time.time()
+    for i, fn in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        _os.utime(str(d / fn), (now - 300 + i * 100, now - 300 + i * 100))
+
+    q = stream_minute_counts_append(spark, str(d), str(tmp_path / "ck"), "late_wm")
+    drain(q)
+    rows = spark.table("late_wm").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(str(r["bucket"]), []).append(r["n"])
+    # the 10:00 window finalized with n=1 when the watermark (10:50) passed
+    # it; the late 10:00:30 row was dropped, never bumping it to 2
+    assert by_bucket == {"2023-03-01 10:00:00": [1]}, by_bucket
+    # and the state operator recorded the watermark-drop
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped >= 1, [p["stateOperators"] for p in q.recentProgress]

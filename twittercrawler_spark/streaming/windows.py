@@ -75,6 +75,41 @@ def stream_minute_counts(
     )
 
 
+def stream_minute_counts_append(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Append-mode twin of :func:`stream_minute_counts` with LIVE watermark
+    semantics: a window is emitted exactly once, after the watermark passes
+    its end; its state is then evicted and any later row for it is DROPPED
+    (`tests/test_streaming.py` proves the drop). This is the bounded-state
+    production contract — the complete-mode twin exists only so the memory
+    sink can equal the batch result. (Empirically, update mode in this Spark
+    version does NOT drop watermark-late rows for window aggregations — the
+    watermark guarantee is one-directional — which is exactly why this
+    append-mode path, where the drop is required for correctness, is the one
+    the engine documents as the late-data story.)
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def batch_minute_counts(spark: SparkSession, events_dir: str) -> DataFrame:
     """Batch twin of :func:`stream_minute_counts` (same plan, bounded)."""
     return (
