@@ -61,11 +61,12 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     """
     counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
     # this window runs over the HOST-COUNT table (one row per scheduled host
-    # — metadata scale), so a single partition is intentional; the constant
-    # partition key makes that explicit instead of tripping Spark's
-    # "No Partition Defined for Window" warning for row-data windows
+    # — metadata scale), so a single partition is intentional. The partition
+    # key is a CONSTANT expression, written non-foldably (length(host)*0 —
+    # Catalyst folds a plain lit(0) away, which would re-trigger Spark's
+    # "No Partition Defined" warning that is meant for row-data windows.
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.length("host") * 0)
         .orderBy("host")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
