@@ -188,7 +188,9 @@ behavior below is the predictive number.
 ## Hardware-honest proxy step: local[2] → local[8]
 
 **Full-round efficiency (thru_8 / thru_2) / 4 = {eff_proxy:.3f} — {proxy_met}**
-(hardware ceiling for this step ≈ 0.84).
+(the box's pure-multiprocessing reference point for 2→8 is ≈ 0.84; an
+IO+JVM-mixed job can land above that proxy, and both numbers carry the
+sandbox's ~±10% trial noise).
 
 Compute-path isolation (scan → fused extract UDF, fresh plan per trial):
 {ex_2:.1f} s @ local[2] → {ex_8:.1f} s @ local[8] ⇒ efficiency {ex_eff:.3f}.
