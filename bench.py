@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_lsh_bucketed",
     "lang_id_heuristic",
+    "text_classify_scores",
     "token_stats",
     "doc_fingerprint",
     "multimodal_decode",

@@ -140,5 +140,82 @@ def label_propagation(
     return labels.select("node", "label")
 
 
-QUERIES = {"label_propagation": label_propagation}
-ORACLES = {"label_propagation": label_propagation_oracle_sql()}
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation): each round every node adopts
+# the minimum component id among itself and its neighbours; after R rounds a
+# node's id is the minimum node id within R hops — both engines run EXACTLY
+# R rounds, so parity holds even before full convergence. The same iterative
+# DataFrame shape as label_propagation (SURVEY §2 A15), a second graph
+# primitive a training-data pipeline needs (near-dup clusters → canonical
+# representative per cluster).
+
+CC_ROUNDS = 5
+
+_CC_ROUND_SQL = """
+v{r} AS (
+  SELECT e.src AS node, min(l.comp) AS nc
+  FROM edges e JOIN c{p} l ON e.dst = l.node
+  GROUP BY 1),
+c{r} AS (
+  SELECT p.node,
+         CASE WHEN v.nc IS NOT NULL AND v.nc < p.comp THEN v.nc
+              ELSE p.comp END AS comp
+  FROM c{p} p LEFT JOIN v{r} v ON p.node = v.node)
+"""
+
+
+def connected_components_oracle_sql(rounds: int = CC_ROUNDS) -> str:
+    base = """
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+c0 AS (SELECT node, node AS comp FROM nodes)
+"""
+    parts = [base]
+    for r in range(1, rounds + 1):
+        parts.append(_CC_ROUND_SQL.format(r=r, p=r - 1))
+    return (
+        "WITH " + ",".join(parts) + f"\nSELECT node, CAST(comp AS BIGINT) AS comp FROM c{rounds}"
+    )
+
+
+def connected_components(
+    spark: SparkSession, sf: str, rounds: int = CC_ROUNDS
+) -> DataFrame:
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    comp = sup.select(
+        F.col("s_suppkey").alias("node"), F.col("s_suppkey").cast("bigint").alias("comp")
+    )
+    edges = _edges(spark, sf).repartition("dst").cache()
+    for _ in range(rounds):
+        neigh = (
+            edges.join(comp.select(F.col("node").alias("dst"), "comp"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nc"))
+        )
+        comp = (
+            comp.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nc").isNotNull() & (F.col("nc") < F.col("comp")), F.col("nc")
+                )
+                .otherwise(F.col("comp"))
+                .alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # per-round state, no lineage growth
+        )
+    edges.unpersist()
+    return comp.select("node", "comp")
+
+
+QUERIES = {
+    "label_propagation": label_propagation,
+    "connected_components": connected_components,
+}
+ORACLES = {
+    "label_propagation": label_propagation_oracle_sql(),
+    "connected_components": connected_components_oracle_sql(),
+}

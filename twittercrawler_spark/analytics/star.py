@@ -892,6 +892,82 @@ def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Q2 flavor — correlated scalar subquery (min per correlation key). Written
+# AS SQL on purpose: Catalyst decorrelates the subquery into an aggregate +
+# join (no per-row re-execution), which is the engine feature under test.
+@q(
+    "cheapest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders o
+    WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def cheapest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# Q7 flavor — bilateral trade volume: the same nation dim joined TWICE under
+# different roles (supplier side, customer side), per-year aggregation.
+@q(
+    "bilateral_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    s = t(spark, sf, "supplier")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("nk1"))
+        .join(n2, F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").cast("bigint").alias("yr")
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
 # Q5 flavor — multi-way dim chain join; Catalyst broadcast-plans the whole
 # dim chain, only the two fact tables shuffle.
 @q(
