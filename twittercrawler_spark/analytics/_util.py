@@ -45,8 +45,10 @@ def base_hash32(c: F.Column) -> F.Column:
 BASE_HASH32_SQL = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
 
 
-def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
-    """Distinct n-word shingles of lower-cased whitespace-tokenized text.
+def word_shingles(text_col: F.Column, n: int = 3, distinct: bool = True) -> F.Column:
+    """n-word shingles of lower-cased whitespace-tokenized text (distinct by
+    default — pass ``distinct=False`` when the consumer is duplicate-
+    insensitive, e.g. a min aggregate, to skip the dedup pass).
 
     1-based ``element_at`` indexing mirrors the oracle's 1-based list
     subscripts exactly. Guarded so texts with < n tokens yield [].
@@ -61,7 +63,7 @@ def word_shingles(text_col: F.Column, n: int = 3) -> F.Column:
             " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(gram) if distinct else gram
 
 
 # DuckDB twin of word_shingles (as a CTE body over documents): produces

@@ -166,12 +166,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # shingle hashes feed the signature build AND the verify join; recomputed
-    # from the scan, not persisted (see dedup_ngram_jaccard note)
+    # ONE shuffle over the shingle set: a single groupBy produces all k
+    # minima (k aggregate columns — map-side partial min, no row explosion)
+    # AND the per-doc distinct-shingle array. Every downstream consumer
+    # (band explode, x-side verify, y-side verify) hangs off that same
+    # aggregate, so Spark's ReuseExchange runs the explode+md5 map work and
+    # its shuffle exactly once. Candidate verification intersects the two
+    # docs' shingle ARRAYS locally (size(array_intersect)) instead of
+    # re-shuffling the exploded shingle table per side — at corpus scale the
+    # per-doc array is bounded by document length, while the old shape
+    # shuffled the full shingle table twice more.
     hs = _shingle_hashes(spark, sf)
-    # all k minima in ONE groupBy pass (k aggregate columns beats a k-way
-    # row explosion ~10×: map-side partial min, no extra shuffle rows);
-    # values identical to the oracle's per-i min formulation
     min_cols = [
         F.min(
             (F.lit(2 * i + 1) * F.col("h") + F.lit((1000003 * i) % MERSENNE_P))
@@ -179,7 +184,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias(f"m{i}")
         for i in range(1, MINHASH_K + 1)
     ]
-    sig_rows = hs.groupBy("doc_id").agg(*min_cols)
+    agg = hs.groupBy("doc_id").agg(*min_cols, F.collect_set("s").alias("ss"))
     n_bands = MINHASH_K // MINHASH_BAND
     band_entries = [
         F.struct(
@@ -194,7 +199,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         for b in range(n_bands)
     ]
-    bands = sig_rows.select(
+    bands = agg.select(
         "doc_id", F.explode(F.array(*band_entries)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     ba = bands.select(F.col("doc_id").alias("x"), "band", "sig")
@@ -205,20 +210,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("x", "y")
         .distinct()
     )
-    sz = hs.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ha = hs.select(F.col("doc_id").alias("x"), "s")
-    hb = hs.select(F.col("doc_id").alias("y"), "s")
-    inter = (
-        cand.join(ha, "x").join(hb, ["y", "s"]).groupBy("x", "y").agg(
-            F.count("*").alias("c")
-        )
+    sets = agg.select("doc_id", "ss")
+    c = F.size(F.array_intersect("ssa", "ssb")).cast("bigint")
+    jac = c.cast("double") / (
+        F.size("ssa").cast("bigint") + F.size("ssb") - c
     )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sz.select(F.col("doc_id").alias("x"), F.col("n").alias("na")), "x")
-        .join(sz.select(F.col("doc_id").alias("y"), F.col("n").alias("nb")), "y")
-        .filter(jac >= JACCARD_T)
-        .select("x", "y", F.round(jac, 6).alias("jac"))
+        cand.join(sets.select(F.col("doc_id").alias("x"), F.col("ss").alias("ssa")), "x")
+        .join(sets.select(F.col("doc_id").alias("y"), F.col("ss").alias("ssb")), "y")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= JACCARD_T)
+        .select("x", "y", F.round("jac_raw", 6).alias("jac"))
     )
 
 

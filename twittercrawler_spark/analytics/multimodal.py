@@ -128,3 +128,45 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["multimodal_decode"] = multimodal_decode
+
+
+# Frame sampling — every SAMPLE_STEP-th frame index of each payload becomes
+# its own row with a per-frame content signature. The frame COUNT comes from
+# the deterministic stand-in decode (byte-derived, so the oracle can compute
+# it too); the explode + signature stay pure JVM codegen — sampling never
+# needs Python, only the codec call does.
+SAMPLE_STEP = 7
+
+
+@q(
+    "multimodal_framesample",
+    f"""
+    SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           md5(text || ':' || CAST(idx AS VARCHAR)) AS frame_sig
+    FROM (
+      SELECT doc_id, text,
+             octet_length(encode(text)) % 120 + 1 AS n_frames
+      FROM documents) d,
+    unnest(generate_series(0, n_frames - 1, {SAMPLE_STEP})) AS g(idx)
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").withColumn("blob", F.encode("text", "utf-8"))
+    nf = (F.length("blob").cast("bigint") % 120 + 1).alias("n_frames")
+    return (
+        d.select("doc_id", "text", nf)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(SAMPLE_STEP).cast("bigint"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
+                "frame_sig"
+            ),
+        )
+    )

@@ -196,9 +196,16 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # explode keeps the per-shingle md5 inside whole-stage codegen (an
+    # array_min-over-transform variant measured 2× SLOWER — higher-order
+    # functions interpret their lambda, including the md5). min() is
+    # duplicate-insensitive, so the non-distinct gram array skips the
+    # array_distinct pass while matching the oracle's DISTINCT formulation.
     d = t(spark, sf, "documents")
     mn = (
-        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        d.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), distinct=False)).alias("s")
+        )
         .groupBy("doc_id")
         .agg(F.min(base_hash32(F.col("s"))).alias("fp_min"))
     )
