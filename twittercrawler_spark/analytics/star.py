@@ -722,6 +722,85 @@ def cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# As-of join — each event matched to the user's most recent order at or
+# before the event time. Spark has no ASOF JOIN operator; the scalable
+# composition is the union-of-streams trick: tag both inputs, sort within
+# user by (time, tag), and carry the last non-null order key forward with a
+# running window — ONE shuffle on the join key, no per-row range probe, no
+# n×m range join. Ties: orders sort before events at the same timestamp
+# ("at or before"), and equal-timestamp orders resolve to the max orderkey.
+@q(
+    "events_asof_orders",
+    """
+    SELECT e.event_id, e.user_id,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+    FROM events e
+    """,
+)
+def events_asof_orders(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("okey"),
+        "event_id",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    u = o.unionByName(e)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", F.col("uid").alias("user_id"), "last_orderkey")
+    )
+
+
+# Deterministic stratified sampling — per-language keep-rates applied via
+# the shared content hash (training-data curation: rebalance a corpus
+# without RNG, reproducible across engines, partitionings and reruns).
+_SAMPLE_RATES = [("en", 80), ("de", 50), ("fr", 50), ("es", 25), ("zh", 10)]
+_RATE_SQL_ROWS = ", ".join(f"('{lg}', {r})" for lg, r in _SAMPLE_RATES)
+
+
+@q(
+    "stratified_sample",
+    f"""
+    WITH rates(lang, keep_pct) AS (VALUES {_RATE_SQL_ROWS})
+    SELECT doc_id, d.lang
+    FROM documents d JOIN rates USING (lang)
+    WHERE CAST('0x' || substr(md5(d.lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100 < keep_pct
+    """,
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ._util import base_hash32
+
+    d = t(spark, sf, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(_SAMPLE_RATES, "lang string, keep_pct int")
+    )
+    key = base_hash32(
+        F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    return (
+        d.join(rates, "lang")
+        .filter(F.pmod(key, F.lit(100)) < F.col("keep_pct"))
+        .select("doc_id", "lang")
+    )
+
+
 # set ops — union + distinct (SURVEY §2.6)
 @q(
     "all_known_ids",
