@@ -24,13 +24,20 @@ SUBSET = [
     "user_top_event_margin",
     "part_class_first_match",
     "label_propagation",
+    "connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "knn_bruteforce",
     "lang_id_heuristic",
     "token_stats",
+    "text_classify_scores",
     "session_windows",
+    "events_asof_orders",
+    "stratified_sample",
+    "cheapest_order_per_customer",
     "multimodal_meta",
+    "multimodal_framesample",
 ]
 
 

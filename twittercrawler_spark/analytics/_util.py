@@ -25,6 +25,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`t`, but guarantees the scan feeds at least
+    ``defaultParallelism`` partitions — for compute-heavy per-row work.
+
+    A single-file single-row-group parquet input cannot split below
+    row-group granularity, so a small-SF table otherwise runs expensive
+    per-document expressions on ONE core. At production scale tables have
+    many files/row groups and this is a no-op (no shuffle added)."""
+    df = t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def dec(col: str | F.Column, prec: str = "decimal(12,2)") -> F.Column:
     """Exact-decimal view of a money/quantity column (same cast in oracle)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -33,7 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import t
+from ._util import t, t_split
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -114,7 +114,7 @@ def q(name: str, sql: str | None):
 def text_classify_scores(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    d = t(spark, sf, "documents").select("doc_id", "text")
+    d = t_split(spark, sf, "documents").select("doc_id", "text")
     scored = d.mapInPandas(_score_batches, _SCHEMA)
     return scored.select(
         "doc_id",

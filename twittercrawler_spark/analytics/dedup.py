@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import SHINGLES_SQL, base_hash32, t, word_shingles
+from ._util import SHINGLES_SQL, base_hash32, t, t_split, word_shingles
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -54,8 +54,11 @@ def q(name: str, sql: str | None):
 
 
 def _shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, s, h): distinct word-3gram shingles + shared 32-bit hash."""
-    d = t(spark, sf, "documents")
+    """(doc_id, s, h): distinct word-3gram shingles + shared 32-bit hash.
+
+    t_split: the shingle transform is the most expensive per-row expression
+    in the suite — a single-row-group input must not run it on one core."""
+    d = t_split(spark, sf, "documents")
     return (
         d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
         .withColumn("h", base_hash32(F.col("s")))
@@ -166,16 +169,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # ONE shuffle over the shingle set: a single groupBy produces all k
-    # minima (k aggregate columns — map-side partial min, no row explosion)
-    # AND the per-doc distinct-shingle array. Every downstream consumer
-    # (band explode, x-side verify, y-side verify) hangs off that same
-    # aggregate, so Spark's ReuseExchange runs the explode+md5 map work and
-    # its shuffle exactly once. Candidate verification intersects the two
-    # docs' shingle ARRAYS locally (size(array_intersect)) instead of
-    # re-shuffling the exploded shingle table per side — at corpus scale the
-    # per-doc array is bounded by document length, while the old shape
-    # shuffled the full shingle table twice more.
+    # A single groupBy yields all k minima (k aggregate columns — map-side
+    # partial min, no row explosion) plus the per-doc distinct-shingle
+    # array; candidate pairs then verify LOCALLY with size(array_intersect)
+    # instead of re-shuffling the exploded shingle table once per side.
+    # (Column pruning specializes the aggregate per consumer branch, so the
+    # map work still runs per branch — each branch computes only its pruned
+    # slice, and the t_split scan keeps that fully parallel.)
     hs = _shingle_hashes(spark, sf)
     min_cols = [
         F.min(
@@ -259,7 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
+    d = t_split(spark, sf, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
         .filter(F.col("tk") != "")

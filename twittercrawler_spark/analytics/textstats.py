@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import base_hash32, t, word_shingles, SHINGLES_SQL
+from ._util import SHINGLES_SQL, base_hash32, t, t_split, word_shingles
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -73,7 +73,7 @@ _SW_ROWS = ", ".join(f"('{lang}', '{w}')" for lang, w in _STOPWORDS)
     """,
 )
 def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
+    d = t_split(spark, sf, "documents")
     sw = F.broadcast(spark.createDataFrame(_STOPWORDS, "slang string, w string"))
     tok = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
@@ -122,7 +122,7 @@ _EN_STOP_ARR = "['the', 'a', 'of', 'and']"
     """,
 )
 def quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
+    d = t_split(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
     ).filter(F.col("tk") != "")
@@ -166,7 +166,7 @@ _TOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     """,
 )
 def token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = t(spark, sf, "documents")
+    d = t_split(spark, sf, "documents")
     ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     return d.select(
         "doc_id",
@@ -201,7 +201,7 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # functions interpret their lambda, including the md5). min() is
     # duplicate-insensitive, so the non-distinct gram array skips the
     # array_distinct pass while matching the oracle's DISTINCT formulation.
-    d = t(spark, sf, "documents")
+    d = t_split(spark, sf, "documents")
     mn = (
         d.select(
             "doc_id", F.explode(word_shingles(F.col("text"), distinct=False)).alias("s")
