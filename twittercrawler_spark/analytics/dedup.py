@@ -138,10 +138,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # candidate pairs share a (band, signature) bucket; candidates verified with
 # exact Jaccard. Permutations h_i(x) = (a_i·x + b_i) mod p, a_i = 2i+1,
 # b_i = 1000003·i mod p — all integer, identical in both engines.
-@q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_HS_SQL},
+# shared CTE chain: shingle hashes -> signatures -> LSH candidates ->
+# verified intersection counts (consumed by dedup_minhash_lsh and by
+# dedup_near_canonical's clustering oracle)
+_MINHASH_CTES = f"""
+    {_HS_SQL},
     params AS (
       SELECT i, CAST(2 * i + 1 AS BIGINT) AS a,
              CAST((1000003 * i) % {MERSENNE_P} AS BIGINT) AS b
@@ -163,6 +164,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       FROM cand c JOIN hs a ON a.doc_id = c.x
                   JOIN hs b ON b.doc_id = c.y AND a.s = b.s
       GROUP BY 1, 2)
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT x, y, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
     FROM inter JOIN sz sa ON x = sa.doc_id JOIN sz sb ON y = sb.doc_id
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}
@@ -222,6 +230,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jac_raw") >= JACCARD_T)
         .select("x", "y", F.round("jac_raw", 6).alias("jac"))
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup clustering — what a training pipeline actually
+# consumes: MinHash-LSH pairs -> connected components (min-label, 3
+# rounds, matching the unrolled oracle exactly) -> every document mapped to
+# the canonical (minimum) doc_id of its near-dup cluster; singletons map to
+# themselves. The pair list is checkpointed once, so the iterative rounds
+# never re-run the LSH lineage.
+NEAR_CANON_ROUNDS = 3
+
+_NEAR_CANON_SQL = (
+    "WITH " + _MINHASH_CTES + f""",
+    pairs AS (
+      SELECT x, y
+      FROM inter JOIN sz sa ON x = sa.doc_id JOIN sz sb ON y = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}),
+    edges AS (SELECT x AS src, y AS dst FROM pairs
+              UNION ALL SELECT y AS src, x AS dst FROM pairs),
+    c0 AS (SELECT doc_id AS node, doc_id AS comp FROM documents),
+    v1 AS (
+      SELECT e.src AS node, min(l.comp) AS nc
+      FROM edges e JOIN c0 l ON e.dst = l.node
+      GROUP BY 1),
+    c1 AS (
+      SELECT q.node,
+             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
+                  ELSE q.comp END AS comp
+      FROM c0 q LEFT JOIN v1 v ON q.node = v.node),
+    v2 AS (
+      SELECT e.src AS node, min(l.comp) AS nc
+      FROM edges e JOIN c1 l ON e.dst = l.node
+      GROUP BY 1),
+    c2 AS (
+      SELECT q.node,
+             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
+                  ELSE q.comp END AS comp
+      FROM c1 q LEFT JOIN v2 v ON q.node = v.node),
+    v3 AS (
+      SELECT e.src AS node, min(l.comp) AS nc
+      FROM edges e JOIN c2 l ON e.dst = l.node
+      GROUP BY 1),
+    c3 AS (
+      SELECT q.node,
+             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
+                  ELSE q.comp END AS comp
+      FROM c2 q LEFT JOIN v3 v ON q.node = v.node)
+    SELECT node AS doc_id, CAST(comp AS BIGINT) AS canon_id FROM c3"""
+)
+
+
+@q("dedup_near_canonical", _NEAR_CANON_SQL)
+def dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf).select("x", "y")
+    # tiny (near-dup-pair-sized); materialize once so the round loop below
+    # does not re-run the whole LSH pipeline per iteration
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    comp = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("node"), F.col("doc_id").cast("bigint").alias("comp")
+    )
+    for _ in range(NEAR_CANON_ROUNDS):
+        neigh = (
+            edges.join(comp.select(F.col("node").alias("dst"), "comp"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nc"))
+        )
+        comp = comp.join(neigh, "node", "left").select(
+            "node",
+            F.when(
+                F.col("nc").isNotNull() & (F.col("nc") < F.col("comp")), F.col("nc")
+            )
+            .otherwise(F.col("comp"))
+            .alias("comp"),
+        ).localCheckpoint(eager=True)
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("canon_id"))
 
 
 # ---------------------------------------------------------------------------
