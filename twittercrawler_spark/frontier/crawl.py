@@ -241,6 +241,9 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
 
     pool = ThreadPoolExecutor(max_workers=1)
     seen_fut = pool.submit(_seen_and_sidecar)
+    # the pool tears itself down when the task finishes, so an exception on
+    # the main fetch path can never leak the worker thread
+    seen_fut.add_done_callback(lambda _: pool.shutdown(wait=False))
 
     # "fetch": ship the SCHEDULE to the DATA — the selected slice is
     # quota-bounded (politeness) and tiny next to the page corpus, so it
@@ -381,7 +384,6 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # join the overlapped seen+sidecar thread (its failure fails the round
     # BEFORE the commit); its bloom_meta counters go into the manifest
     bloom_meta = seen_fut.result()
-    pool.shutdown()
     tm.lap("join_seen_sidecar")
 
     wh.commit(
