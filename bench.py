@@ -34,9 +34,11 @@ HEADLINE = [
     "label_propagation",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_near_canonical",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "knn_bruteforce",
+    "events_asof_orders",
     "ann_lsh_bucketed",
     "lang_id_heuristic",
     "text_classify_scores",
