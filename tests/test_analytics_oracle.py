@@ -77,3 +77,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert scols == ocols
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_classify_scorer_skips_null_text():
+    """NULL text must yield no row (the oracle emits none), never the
+    literal token 'none'."""
+    import pandas as pd
+
+    from twittercrawler_spark.analytics.classify import _score_batches
+
+    out = list(
+        _score_batches(
+            iter([pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hello world", None, "  "]})])
+        )
+    )
+    got = pd.concat(out)
+    assert list(got["doc_id"]) == [1]

@@ -119,3 +119,39 @@ def test_zip_lines_source(spark, tmp_path):
     assert len(rows) == 6
     got = {(r["member"], r["line_no"], r["line"]) for r in rows}
     assert ("part0/a.txt", 2, "l2") in got and ("part1/b.txt", 1, "only") in got
+
+
+def test_pylit_lines_skips_type_mismatch(spark, tmp_path):
+    """A well-formed dict whose value type contradicts the schema is SKIPPED
+    (the PERMISSIVE contract), never an Arrow-cast crash."""
+    from twittercrawler_spark.sources.lines import read_pylit_lines
+
+    p = tmp_path / "dump2.txt"
+    p.write_text(
+        "\n".join(
+            [
+                "{'id': 1, 'text': 'good'}",
+                "{'id': 'abc', 'text': 'bad id type'}",
+                "{'id': True, 'text': 'bool is not long'}",
+                "{'id': 2, 'text': 3.5}",
+                "{'id': 3}",
+            ]
+        )
+        + "\n"
+    )
+    df = read_pylit_lines(spark, str(p), "id long, text string")
+    rows = {r["id"]: r["text"] for r in df.collect()}
+    assert rows == {1: "good", 3: None}
+
+
+def test_zip_lines_skips_binary_members(spark, tmp_path):
+    """Non-UTF-8 / binary members are skipped, not fatal."""
+    import zipfile
+
+    from twittercrawler_spark.sources.lines import read_zip_lines
+
+    with zipfile.ZipFile(tmp_path / "mixed.zip", "w") as zf:
+        zf.writestr("good.txt", "a\nb\n")
+        zf.writestr("img.bin", bytes([0xFF, 0xFE, 0x00, 0x9C] * 8))
+    rows = read_zip_lines(spark, str(tmp_path)).collect()
+    assert {(r["member"], r["line"]) for r in rows} == {("good.txt", "a"), ("good.txt", "b")}

@@ -52,12 +52,21 @@ def dbl6(c: F.Column) -> F.Column:
 
 
 # Shared 32-bit base hash H(s) in [0, 2^32). Spark side; the oracle twin is
-# CAST('0x' || substr(md5(s),1,8) AS BIGINT).
+# CAST('0x' || substr(md5(s),1,8) AS BIGINT); the Python twin is
+# py_base_hash32 — ALL consumers (LSH plane signs, classifier weights, …)
+# must go through one of these three, never a re-implementation.
 def base_hash32(c: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
 BASE_HASH32_SQL = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+
+def py_base_hash32(s: str) -> int:
+    """Pure-Python twin of :func:`base_hash32` (== the oracle SQL twin)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
 def word_shingles(text_col: F.Column, n: int = 3, distinct: bool = True) -> F.Column:

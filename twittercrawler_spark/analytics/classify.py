@@ -26,27 +26,21 @@ model artifact; Arrow batch size is bounded by the session's
 
 from __future__ import annotations
 
-import hashlib
 import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import t, t_split
+from ._util import py_base_hash32, t, t_split
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 D = 256  # hashing-TF feature dimension
 
-
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-
-
 #: fixed "model": one signed integer weight per feature bucket
-WEIGHTS = [(_h32(f"w:{b}") % 2001) - 1000 for b in range(D)]
+WEIGHTS = [(py_base_hash32(f"w:{b}") % 2001) - 1000 for b in range(D)]
 
 _WS = re.compile(r"\s+")
 
@@ -65,14 +59,16 @@ def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "n_tokens": [], "score_int": []}
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = [w for w in _WS.split(str(text).lower()) if w]
+            if not isinstance(text, str):
+                continue  # NULL text: the oracle emits no row — so must we
+            toks = [w for w in _WS.split(text.lower()) if w]
             if not toks:
                 continue  # featurizer contract: empty docs produce no row
             s = 0
             for tk in toks:
                 b = bucket_cache.get(tk)
                 if b is None:
-                    b = bucket_cache[tk] = _h32(tk) % D
+                    b = bucket_cache[tk] = py_base_hash32(tk) % D
                 s += WEIGHTS[b]
             out["doc_id"].append(int(doc_id))
             out["n_tokens"].append(len(toks))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import SHINGLES_SQL, base_hash32, t, t_split, word_shingles
+from .graph import min_label_rounds, min_label_rounds_sql
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -251,35 +252,10 @@ _NEAR_CANON_SQL = (
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}),
     edges AS (SELECT x AS src, y AS dst FROM pairs
               UNION ALL SELECT y AS src, x AS dst FROM pairs),
-    c0 AS (SELECT doc_id AS node, doc_id AS comp FROM documents),
-    v1 AS (
-      SELECT e.src AS node, min(l.comp) AS nc
-      FROM edges e JOIN c0 l ON e.dst = l.node
-      GROUP BY 1),
-    c1 AS (
-      SELECT q.node,
-             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
-                  ELSE q.comp END AS comp
-      FROM c0 q LEFT JOIN v1 v ON q.node = v.node),
-    v2 AS (
-      SELECT e.src AS node, min(l.comp) AS nc
-      FROM edges e JOIN c1 l ON e.dst = l.node
-      GROUP BY 1),
-    c2 AS (
-      SELECT q.node,
-             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
-                  ELSE q.comp END AS comp
-      FROM c1 q LEFT JOIN v2 v ON q.node = v.node),
-    v3 AS (
-      SELECT e.src AS node, min(l.comp) AS nc
-      FROM edges e JOIN c2 l ON e.dst = l.node
-      GROUP BY 1),
-    c3 AS (
-      SELECT q.node,
-             CASE WHEN v.nc IS NOT NULL AND v.nc < q.comp THEN v.nc
-                  ELSE q.comp END AS comp
-      FROM c2 q LEFT JOIN v3 v ON q.node = v.node)
-    SELECT node AS doc_id, CAST(comp AS BIGINT) AS canon_id FROM c3"""
+    c0 AS (SELECT doc_id AS node, doc_id AS comp FROM documents),"""
+    + min_label_rounds_sql(NEAR_CANON_ROUNDS)
+    + f"\n    SELECT node AS doc_id, CAST(comp AS BIGINT) AS canon_id"
+    f" FROM c{NEAR_CANON_ROUNDS}"
 )
 
 
@@ -295,20 +271,7 @@ def dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
     comp = t(spark, sf, "documents").select(
         F.col("doc_id").alias("node"), F.col("doc_id").cast("bigint").alias("comp")
     )
-    for _ in range(NEAR_CANON_ROUNDS):
-        neigh = (
-            edges.join(comp.select(F.col("node").alias("dst"), "comp"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("comp").alias("nc"))
-        )
-        comp = comp.join(neigh, "node", "left").select(
-            "node",
-            F.when(
-                F.col("nc").isNotNull() & (F.col("nc") < F.col("comp")), F.col("nc")
-            )
-            .otherwise(F.col("comp"))
-            .alias("comp"),
-        ).localCheckpoint(eager=True)
+    comp = min_label_rounds(comp, edges, NEAR_CANON_ROUNDS)
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("canon_id"))
 
 

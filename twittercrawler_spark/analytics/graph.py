@@ -164,31 +164,19 @@ c{r} AS (
 """
 
 
-def connected_components_oracle_sql(rounds: int = CC_ROUNDS) -> str:
-    base = """
-edges AS (
-  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
-c0 AS (SELECT node, node AS comp FROM nodes)
-"""
-    parts = [base]
-    for r in range(1, rounds + 1):
-        parts.append(_CC_ROUND_SQL.format(r=r, p=r - 1))
-    return (
-        "WITH " + ",".join(parts) + f"\nSELECT node, CAST(comp AS BIGINT) AS comp FROM c{rounds}"
-    )
+def min_label_rounds_sql(rounds: int) -> str:
+    """The unrolled min-label CTE chain v1/c1 … v{rounds}/c{rounds}; expects
+    ``edges(src, dst)`` and ``c0(node, comp)`` CTEs to exist. THE single
+    source of the oracle-side propagation rule (connected_components here,
+    dedup_near_canonical in dedup.py)."""
+    return ",".join(_CC_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, rounds + 1))
 
 
-def connected_components(
-    spark: SparkSession, sf: str, rounds: int = CC_ROUNDS
-) -> DataFrame:
-    sup = spark.read.parquet(f"{sf}/supplier.parquet")
-    comp = sup.select(
-        F.col("s_suppkey").alias("node"), F.col("s_suppkey").cast("bigint").alias("comp")
-    )
-    edges = _edges(spark, sf).repartition("dst").cache()
+def min_label_rounds(comp: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` iterations of min-label propagation: each round every node
+    adopts min(own comp, neighbours' comp). Per-round localCheckpoint keeps
+    the state table node-sized with no lineage growth. THE single source of
+    the Spark-side rule (twin of :func:`min_label_rounds_sql`)."""
     for _ in range(rounds):
         neigh = (
             edges.join(comp.select(F.col("node").alias("dst"), "comp"), "dst")
@@ -205,8 +193,35 @@ def connected_components(
                 .otherwise(F.col("comp"))
                 .alias("comp"),
             )
-            .localCheckpoint(eager=True)  # per-round state, no lineage growth
+            .localCheckpoint(eager=True)
         )
+    return comp
+
+
+def connected_components_oracle_sql(rounds: int = CC_ROUNDS) -> str:
+    base = """
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+c0 AS (SELECT node, node AS comp FROM nodes)
+"""
+    return (
+        "WITH " + base + "," + min_label_rounds_sql(rounds)
+        + f"\nSELECT node, CAST(comp AS BIGINT) AS comp FROM c{rounds}"
+    )
+
+
+def connected_components(
+    spark: SparkSession, sf: str, rounds: int = CC_ROUNDS
+) -> DataFrame:
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    comp = sup.select(
+        F.col("s_suppkey").alias("node"), F.col("s_suppkey").cast("bigint").alias("comp")
+    )
+    edges = _edges(spark, sf).repartition("dst").cache()
+    comp = min_label_rounds(comp, edges, rounds)
     edges.unpersist()
     return comp.select("node", "comp")
 

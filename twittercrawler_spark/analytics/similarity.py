@@ -19,19 +19,17 @@ Cosine is the same sequential fold in Spark (``F.aggregate``) and DuckDB
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import py_base_hash32, t
 from .dedup import _COS_SQL, _cos_cols, _emb
 
 
 def _sign_of(salt: str) -> int:
     """±1 from the shared 32-bit md5 base hash — the Python twin of the
     oracle's CASE WHEN CAST('0x'||substr(md5(salt),1,8) AS BIGINT)%2."""
-    return 1 if int(hashlib.md5(salt.encode()).hexdigest()[:8], 16) % 2 == 1 else -1
+    return 1 if py_base_hash32(salt) % 2 == 1 else -1
 
 QUERIES: dict = {}
 ORACLES: dict = {}

@@ -984,12 +984,18 @@ def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def cheapest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
-    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    # the temp-view name is derived from the sf dir so concurrent/interleaved
+    # invocations against different scale factors can never clobber each
+    # other's view (every other query in the suite is side-effect free)
+    import hashlib as _hl
+
+    view = f"orders_v_{_hl.md5(sf.encode()).hexdigest()[:12]}"
+    t(spark, sf, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
-        FROM orders_v o
-        WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders_v o2
+        FROM {view} o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM {view} o2
                               WHERE o2.o_custkey = o.o_custkey)
         """
     )

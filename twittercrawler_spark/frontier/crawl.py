@@ -366,9 +366,11 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         )
     )
     metric_rows = cand_m.unionByName(sel_m).unionByName(fw_m)
-    # one compute job: collect the (NB × stages)-row lineage, then the
-    # metrics table, the commit totals, AND the Bloom-sidecar update plan
-    # all come from it (no extra count jobs)
+    # one compute job on the MAIN path: the lineage table and the commit
+    # totals both come from this collect. (The Bloom-sidecar plan needs its
+    # per-bucket counts EARLIER, so the overlapped thread computes its own
+    # tiny count over the checkpointed slice — that duplication is what buys
+    # the fetch-stage overlap; don't "simplify" it back into this job.)
     collected = metric_rows.collect()
     tm.lap("metrics_collect")
     wh.write(

@@ -62,11 +62,12 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
     # this window runs over the HOST-COUNT table (one row per scheduled host
     # — metadata scale), so a single partition is intentional. The partition
-    # key is a CONSTANT expression, written non-foldably (length(host)*0 —
-    # Catalyst folds a plain lit(0) away, which would re-trigger Spark's
-    # "No Partition Defined" warning that is meant for row-data windows.
+    # key is a CONSTANT expression, written non-foldably — Catalyst folds a
+    # plain lit(0) away, which would re-trigger Spark's "No Partition
+    # Defined" warning meant for row-data windows. coalesce keeps the key 0
+    # (one partition) even for a NULL host row from a hand-built frame.
     w = (
-        Window.partitionBy(F.length("host") * 0)
+        Window.partitionBy(F.coalesce(F.length("host"), F.lit(0)) * 0)
         .orderBy("host")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -40,6 +40,29 @@ def read_pylit_lines(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     names = [f.name for f in schema.fields]
+    # python-type gate per declared field: a parsed dict whose value has the
+    # wrong type must be SKIPPED like any other malformed line, not crash
+    # the Arrow conversion (bool is excluded from the int family on purpose)
+    _OK: dict[type, tuple[type, ...]] = {
+        T.LongType: (int,),
+        T.IntegerType: (int,),
+        T.DoubleType: (int, float),
+        T.FloatType: (int, float),
+        T.BooleanType: (bool,),
+        T.StringType: (str,),
+    }
+    checks = [(f.name, _OK.get(type(f.dataType))) for f in schema.fields]
+
+    def _row_ok(obj: dict) -> bool:
+        for name, ok_types in checks:
+            v = obj.get(name)
+            if v is None or ok_types is None:
+                continue
+            if not isinstance(v, ok_types) or (
+                isinstance(v, bool) and bool not in ok_types
+            ):
+                return False
+        return True
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -49,7 +72,7 @@ def read_pylit_lines(
                     obj = ast.literal_eval(line)
                 except (ValueError, SyntaxError):
                     continue
-                if not isinstance(obj, dict):
+                if not isinstance(obj, dict) or not _row_ok(obj):
                     continue
                 rows.append(tuple(obj.get(n) for n in names))
             yield pd.DataFrame(rows, columns=names)
@@ -77,7 +100,10 @@ def read_zip_lines(spark: SparkSession, path: str) -> DataFrame:
                     for member in zf.namelist():
                         if member.endswith("/"):
                             continue
-                        text = zf.read(member).decode("utf-8")
+                        try:  # binary / non-UTF-8 members are SKIPPED, not fatal
+                            text = zf.read(member).decode("utf-8")
+                        except UnicodeDecodeError:
+                            continue
                         lines = text.splitlines()
                         yield pd.DataFrame(
                             {
