@@ -276,6 +276,53 @@ def dedup_near_canonical(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination — the training-data hygiene op: flag every
+# training document that shares at least one word-3gram shingle with the
+# held-out evaluation set (here: doc_id < EVAL_CUTOFF stands in for the
+# benchmark corpus). Candidates come from an equi-join on the shingle — the
+# overlap-pair space, never |train|×|eval| — and the flag aggregates
+# map-side. At 100 TB the eval shingle set is benchmark-sized and
+# broadcastable, so the train-side scan never shuffles.
+EVAL_CUTOFF = 50
+
+
+@q(
+    "decontaminate_against_eval",
+    f"""
+    WITH {_HS_SQL},
+    ev AS (SELECT DISTINCT s FROM hs WHERE doc_id < {EVAL_CUTOFF}),
+    hits AS (
+      SELECT hs.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM hs JOIN ev ON hs.s = ev.s
+      WHERE hs.doc_id >= {EVAL_CUTOFF}
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= {EVAL_CUTOFF}
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
+    hs = _shingle_hashes(spark, sf).select("doc_id", "s")
+    ev = F.broadcast(
+        hs.filter(F.col("doc_id") < EVAL_CUTOFF).select("s").distinct()
+    )
+    hits = (
+        hs.filter(F.col("doc_id") >= EVAL_CUTOFF)
+        .join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    d = t(spark, sf, "documents").filter(F.col("doc_id") >= EVAL_CUTOFF)
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash: 32-bit fingerprint from distinct-token hashes; near-dup pairs via
 # pigeonhole byte-chunk equi-join (hamming ≤ 3 over 4 chunks ⇒ one chunk
 # equal), verified by bit_count(xor).
