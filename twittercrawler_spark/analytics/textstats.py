@@ -178,6 +178,77 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus vocabulary statistics: top-k word-3grams by document frequency
+# (distinct per doc), with a total-order tie-break so top-k is engine- and
+# partitioning-independent. orderBy+limit plans as TakeOrderedAndProject —
+# map-side partial top-k, no single-partition window.
+TOP_NGRAMS_K = 50
+
+
+@q(
+    "top_ngrams",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+    SELECT s, df FROM (
+      SELECT s, df, row_number() OVER (ORDER BY df DESC, s) AS rk FROM cnt) x
+    WHERE rk <= {TOP_NGRAMS_K}
+    """,
+)
+def top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = t_split(spark, sf, "documents")
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    cnt = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return cnt.orderBy(F.desc("df"), F.asc("s")).limit(TOP_NGRAMS_K)
+
+
+# ---------------------------------------------------------------------------
+# Per-language document-length distribution: exact rank-based percentiles
+# (value at ceil(q·n), an explicit total order incl. doc_id tie-break) so
+# both engines pick the identical element — engine quantile functions
+# disagree on interpolation, rank-based selection cannot.
+@q(
+    "doc_length_percentiles",
+    """
+    WITH r AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents)
+    SELECT lang, CAST(max(cnt) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.9 * cnt) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p90_chars
+    FROM r GROUP BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    def _at(q: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).cast("bigint")
+
+    return r.groupBy("lang").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        _at(0.5).alias("p50_chars"),
+        _at(0.9).alias("p90_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting: whole-doc content hash of whitespace-normalized
 # text + MinHash-style minimum shingle hash (the winnowing-family
 # fingerprint; rolling-hash analog over word 3-grams).
