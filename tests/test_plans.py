@@ -104,6 +104,15 @@ def test_global_topk_never_single_partition_window(spark):
     assert "Window" not in plan
 
 
+def test_topk_queries_plan_take_ordered(spark):
+    # every global top-k in the suite must be TakeOrderedAndProject, never a
+    # partition-less window over the full input
+    for name in ["shipping_priority_top10", "top_ngrams"]:
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
 def test_knn_broadcasts_queries(spark):
     plan = plan_of(spark, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
