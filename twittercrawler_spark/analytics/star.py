@@ -1053,6 +1053,52 @@ def bilateral_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Q13 flavor — outer join then distribution-of-counts: customers bucketed
+# by how many orders they have (including the zero bucket, which only an
+# OUTER join can produce); two-level aggregation.
+@q(
+    "customer_order_distribution",
+    """
+    WITH c AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+    FROM c GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_custs"))
+
+
+# Q16 flavor — count(DISTINCT) per group: Catalyst plans the distinct
+# aggregate as the expand + two-phase aggregation (partial distinct
+# map-side), a different physical shape from plain hash aggregation.
+@q(
+    "suppliers_per_parttype",
+    """
+    SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def suppliers_per_parttype(spark: SparkSession, sf: str) -> DataFrame:
+    p = F.broadcast(t(spark, sf, "part"))
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+
+
 # Q5 flavor — multi-way dim chain join; Catalyst broadcast-plans the whole
 # dim chain, only the two fact tables shuffle.
 @q(
