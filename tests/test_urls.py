@@ -118,3 +118,37 @@ def test_url_hash64_duckdb_parity():
     ).fetchall()
     for u, h in rel:
         assert h == url_hash64(u), u
+
+
+# --- property-based: canonicalization is a projection (idempotent) ----------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _scheme = st.sampled_from(["http", "https", "HTTP", "Http"])
+    _host = st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True)
+    _port = st.sampled_from(["", ":80", ":443", ":8080", ":65535"])
+    _path = st.from_regex(r"(/[A-Za-z0-9._~%/-]{0,20})?", fullmatch=True)
+    _query = st.sampled_from(
+        ["", "?a=1", "?b=2&a=1", "?b=2&a=1&a=0", "?x", "?=v", "?a=1&a=1"]
+    )
+    _frag = st.sampled_from(["", "#f", "#a/b?c=1"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(_scheme, _host, _port, _path, _query, _frag)
+    def test_canonicalize_idempotent(scheme, host, port, path, query, frag):
+        """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+        form is a fixed point, so re-canonicalizing crawl output (which the
+        frontier merge does implicitly via _with_url_cols keys) can never
+        change membership or ordering keys."""
+        u = f"{scheme}://{host}{port}{path}{query}{frag}"
+        c = canonicalize_url(u)
+        if c is not None:
+            assert canonicalize_url(c) == c, (u, c)
+            # and the 60-bit hash twin agrees with itself across calls
+            assert url_hash64(c) == url_hash64(c)

@@ -801,6 +801,45 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# set ops — EXCEPT (SURVEY §2.6): customers with no orders at all. Spark's
+# exceptAll/except plan as anti joins; the explicit distinct EXCEPT keeps
+# both engines on identical set semantics.
+@q(
+    "customers_never_active",
+    """
+    SELECT c_custkey AS id FROM customer
+    EXCEPT
+    SELECT user_id AS id FROM events
+    """,
+)
+def customers_never_active(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    e = t(spark, sf, "events").select(F.col("user_id").alias("id"))
+    return c.exceptAll(e.distinct()).distinct()
+
+
+# per-type value statistics over the events stream's numeric payload —
+# decimal-exact sums, rounded doubles (the cross-engine money discipline)
+@q(
+    "event_value_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    s = F.sum(F.col("value").cast("decimal(18,6)"))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        s.cast("double").alias("total"),
+        F.round(s.cast("double") / F.count("*"), 6).alias("mean"),
+    )
+
+
 # set ops — union + distinct (SURVEY §2.6)
 @q(
     "all_known_ids",
