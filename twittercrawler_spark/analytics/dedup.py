@@ -16,9 +16,9 @@ Scale design (the 100 TB story — LSH exists precisely so the O(n²) pair
 space is never materialized):
 * MinHash-LSH: candidates come from an equi-join on (band, signature) —
   shuffle keyed on band signatures, output ∝ true-near-dup pairs, never n².
-* SimHash: pigeonhole chunk join — pairs within hamming≤3 of a 32-bit
-  fingerprint must share one of 4 byte chunks, so candidates come from an
-  equi-join on (chunk_idx, chunk_value).
+* SimHash: pigeonhole chunk join — pairs within hamming≤3 of a 64-bit
+  fingerprint must share one of its 4 16-bit chunks, so candidates come
+  from an equi-join on (chunk_idx, chunk_value): 4×65,536 join keys.
 * exact dedup: hash-groupBy, map-side combinable.
 * brute-force Jaccard is included ONLY as the small-scale oracle shape; the
   LSH paths are the ones that survive 1000 executors.
@@ -323,9 +323,18 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 32-bit fingerprint from distinct-token hashes; near-dup pairs via
-# pigeonhole byte-chunk equi-join (hamming ≤ 3 over 4 chunks ⇒ one chunk
-# equal), verified by bit_count(xor).
+# SimHash: 64-bit fingerprint from distinct-token hashes; near-dup pairs via
+# pigeonhole 16-bit-chunk equi-join (hamming ≤ 3 over 4 chunks ⇒ at least
+# one chunk identical), verified by bit_count(xor).
+#
+# Scale sizing: the candidate key space is 4 chunk positions × 2^16 chunk
+# values = 262,144 equi-join keys (vs 4×256 for a 32-bit/8-bit-chunk
+# fingerprint) — at n documents the expected per-key population is n/2^16,
+# so the candidate pair space stays ~n²/2^16 per chunk position and the
+# shuffle has 2^18-way key parallelism. The fingerprint is carried as two
+# 32-bit halves (f_lo = bits 0..31, f_hi = bits 32..63) so every value
+# stays a non-negative BIGINT in both engines (no 64-bit sign-bit
+# divergence); hamming = popcount(xor) summed over the halves.
 @q(
     "dedup_simhash",
     f"""
@@ -334,26 +343,38 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
         FROM documents) u
       WHERE tk <> ''),
-    th AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h FROM tok),
+    th AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h_lo,
+                  CAST('0x' || substr(md5(tk), 9, 8) AS BIGINT) AS h_hi
+           FROM tok),
     bits AS (
       SELECT doc_id, j,
-             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS ssum
-      FROM th CROSS JOIN unnest(generate_series(0, 31)) AS g(j)
+             sum(CASE WHEN (CASE WHEN j < 32 THEN h_lo >> j
+                                 ELSE h_hi >> (j - 32) END) & 1 = 1
+                 THEN 1 ELSE -1 END) AS ssum
+      FROM th CROSS JOIN unnest(generate_series(0, 63)) AS g(j)
       GROUP BY 1, 2),
     fp AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN ssum > 0 THEN (CAST(1 AS BIGINT) << j)
-                           ELSE 0 END) AS BIGINT) AS f
+             CAST(sum(CASE WHEN ssum > 0 AND j < 32
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS f_lo,
+             CAST(sum(CASE WHEN ssum > 0 AND j >= 32
+                           THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS f_hi
       FROM bits GROUP BY 1),
     ch AS (
-      SELECT doc_id, f, k, (f >> (k * 8)) & 255 AS chunk
+      SELECT doc_id, f_lo, f_hi, k,
+             (CASE WHEN k < 2 THEN f_lo >> (k * 16)
+                   ELSE f_hi >> ((k - 2) * 16) END) & 65535 AS chunk
       FROM fp CROSS JOIN unnest(generate_series(0, 3)) AS g(k)),
     cand AS (
-      SELECT DISTINCT a.doc_id AS x, a.f AS fx, b.doc_id AS y, b.f AS fy
+      SELECT DISTINCT a.doc_id AS x, a.f_lo AS fxl, a.f_hi AS fxh,
+                      b.doc_id AS y, b.f_lo AS fyl, b.f_hi AS fyh
       FROM ch a JOIN ch b
         ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-    SELECT x, y, CAST(bit_count(xor(fx, fy)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(fx, fy)) <= {SIMHASH_HAMMING_T}
+    SELECT x, y,
+           CAST(bit_count(xor(fxl, fyl)) + bit_count(xor(fxh, fyh)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fxl, fyl)) + bit_count(xor(fxh, fyh)) <= {SIMHASH_HAMMING_T}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -363,38 +384,64 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("tk") != "")
         .distinct()
     )
-    th = tok.select("doc_id", base_hash32(F.col("tk")).alias("h"))
-    # fused bit-vote: all 32 per-bit sums as aggregate COLUMNS in one groupBy
+    th = tok.select(
+        "doc_id",
+        base_hash32(F.col("tk")).alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("tk")), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+    )
+    # fused bit-vote: all 64 per-bit sums as aggregate COLUMNS in one groupBy
     # (map-side partial sums, no row explosion) — the same k-columns trick as
     # the MinHash minima above; values identical to the oracle's per-j sums
     bit_sums = [
-        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(32)
+        F.sum(
+            F.when(F.expr(f"(h_lo >> {j}) & 1" if j < 32 else f"(h_hi >> {j - 32}) & 1") == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
     ]
-    f_expr = F.lit(0).cast("bigint")
-    for j in range(32):
-        f_expr = f_expr + F.when(
-            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    def _half(lo: int) -> F.Column:
+        e = F.lit(0).cast("bigint")
+        for j in range(lo, lo + 32):
+            e = e + F.when(
+                F.col(f"s{j}") > 0, F.lit(1 << (j - lo)).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return e.cast("bigint")
+
     fp = th.groupBy("doc_id").agg(*bit_sums).select(
-        "doc_id", f_expr.cast("bigint").alias("f")
+        "doc_id", _half(0).alias("f_lo"), _half(32).alias("f_hi")
     )
     # 4 chunk rows per doc via a literal-array explode (pure projection —
     # no join node at all for the constant chunk-index dimension)
     ch = fp.select(
         "doc_id",
-        "f",
+        "f_lo",
+        "f_hi",
         F.explode(F.array(*[F.lit(k).cast("int") for k in range(4)])).alias("k"),
-    ).select("doc_id", "f", "k", F.expr("(f >> (k * 8)) & 255").alias("chunk"))
-    ca = ch.select(F.col("doc_id").alias("x"), F.col("f").alias("fx"), "k", "chunk")
-    cb = ch.select(F.col("doc_id").alias("y"), F.col("f").alias("fy"), "k", "chunk")
+    ).select(
+        "doc_id",
+        "f_lo",
+        "f_hi",
+        "k",
+        F.expr(
+            "(CASE WHEN k < 2 THEN shiftright(f_lo, k * 16) "
+            "ELSE shiftright(f_hi, (k - 2) * 16) END) & 65535"
+        ).alias("chunk"),
+    )
+    ca = ch.select(
+        F.col("doc_id").alias("x"), F.col("f_lo").alias("fxl"),
+        F.col("f_hi").alias("fxh"), "k", "chunk",
+    )
+    cb = ch.select(
+        F.col("doc_id").alias("y"), F.col("f_lo").alias("fyl"),
+        F.col("f_hi").alias("fyh"), "k", "chunk",
+    )
     cand = (
         ca.join(cb, ["k", "chunk"])
         .filter(F.col("x") < F.col("y"))
-        .select("x", "fx", "y", "fy")
+        .select("x", "fxl", "fxh", "y", "fyl", "fyh")
         .distinct()
     )
-    hamming = F.bit_count(F.expr("fx ^ fy"))
+    hamming = F.bit_count(F.expr("fxl ^ fyl")) + F.bit_count(F.expr("fxh ^ fyh"))
     return cand.filter(hamming <= SIMHASH_HAMMING_T).select(
         "x", "y", hamming.cast("bigint").alias("hamming")
     )

@@ -5,25 +5,63 @@ Two paths, per the scale doctrine:
   a broadcast of the (small) query set against the full corpus, window
   top-k. At 100 TB this is the per-batch scoring pattern (queries always
   broadcast; corpus never shuffles).
-* ``ann_lsh_bucketed`` — sign-random-projection LSH: 8 deterministic ±1
-  hyperplanes bucket every vector into one of 256 cells; candidate pairs
-  come from an equi-join on the bucket id, then exact cosine verifies. The
-  pair space is per-bucket, never n². Hyperplane components derive from the
-  shared md5 base hash; the projection is computed on integer-quantized
-  embeddings so the bucket id is exact-integer — bit-identical across
-  engines and partitionings.
+* ``ann_lsh_bucketed`` / ``dedup_embedding_lsh`` — multi-table
+  sign-random-projection LSH: T independent hash tables of P deterministic
+  ±1 hyperplanes each bucket every vector into one of T·2^P cells;
+  candidate pairs come from an equi-join on (table, bucket), then exact
+  cosine verifies. The pair space is per-bucket, never n².
 
-Cosine is the same sequential fold in Spark (``F.aggregate``) and DuckDB
-(``list_reduce``) → identical IEEE doubles.
+Bucket-space sizing (the 100 TB contract): P is NOT a fixed constant — it
+is computed from the corpus count as P = max(floor, ceil(log2(n / B)))
+(:func:`srp_planes`) for a constant target bucket occupancy B. The cell
+count 2^P then grows LINEARLY with n, so the expected candidate-pair count
+is ~n·B·T/2 — linear in corpus size — and the equi-join key space (the
+shuffle parallelism bound) grows with the corpus instead of capping it:
+n=500 → P=6 (64 cells/table), n=2000 → P=8, n=10^9 at B=8 → P=27 (~10^8
+cells/table). BOTH engines derive P from the same count (the oracle SQL
+computes it in a CTE; the Spark program counts the scan), so the buckets
+stay bit-identical. Recall for the high-similarity band is controlled
+independently by the OR-table count T: collision probability per table for
+angle θ is (1 − θ/π)^P, overall 1 − (1 − p)^T — raise T to buy recall,
+never by shrinking the bucket space.
+
+Hyperplane components derive from the shared md5 base hash; the projection
+is computed on integer-quantized embeddings so the bucket id is
+exact-integer. Cosine is the same sequential fold in Spark
+(``F.aggregate``) and DuckDB (``list_reduce``) → identical IEEE doubles.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import py_base_hash32, t
 from .dedup import _COS_SQL, _cos_cols, _emb
+
+#: target expected vectors per LSH cell (B in the sizing rule)
+SRP_TARGET_BUCKET = 8
+#: minimum planes per table (guards degenerate tiny corpora)
+SRP_FLOOR = 4
+
+
+def srp_planes(n_vectors: int, target_bucket: int = SRP_TARGET_BUCKET,
+               floor: int = SRP_FLOOR) -> int:
+    """Planes per hash table for an expected ``target_bucket`` vectors per
+    cell: P = max(floor, ceil(log2(n / target_bucket))). Keeps the per-cell
+    pair space ~B²/2 regardless of corpus size — the property that makes
+    the candidate join linear in n instead of n²/cells."""
+    return max(floor, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
+#: SQL twin of srp_planes (a CTE producing one row (p)); MUST stay the same
+#: formula — both engines derive the plane count from the same corpus count.
+_SRP_PLANES_SQL = (
+    f"SELECT greatest({SRP_FLOOR}, CAST(ceil(log2(greatest(2.0, "
+    f"count(*) / {SRP_TARGET_BUCKET}.0))) AS INT)) AS p FROM embeddings"
+)
 
 
 def _sign_of(salt: str) -> int:
@@ -36,13 +74,10 @@ ORACLES: dict = {}
 
 KNN_QUERIES = 5  # vec_id < 5 are the query vectors
 KNN_K = 10
-N_PLANES = 8
+# OR-table counts (the recall knob; the bucket space is srp_planes-sized)
+AN_TABLES = 4
 ANN_COSINE_T = 0.3
-# near-dup LSH: 2 independent hash tables of 6 planes each (OR-amplified:
-# a pair is a candidate if it collides in ANY table — recall amplification
-# for the high-similarity band near-dup detection cares about)
-ND_TABLES = 2
-ND_PLANES = 6
+ND_TABLES = 4
 ND_COSINE_T = 0.4
 
 
@@ -95,152 +130,55 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Deterministic ±1 hyperplane component for (plane j, dim d): parity of the
-# shared base hash of "j:d". Quantized projection keeps bucketing integer.
-_BUCKET_SQL = f"""
-    planes AS (
-      SELECT j, d,
-             CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
-                  CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1
-                  THEN 1 ELSE -1 END AS r
-      FROM unnest(generate_series(0, {N_PLANES - 1})) AS gj(j)
-      CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
-    vq AS (
-      SELECT vec_id, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS q
-      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
-    proj AS (
-      SELECT vq.vec_id, p.j, sum(vq.q * p.r) AS dot
-      FROM vq JOIN planes p ON vq.d = p.d
-      GROUP BY 1, 2),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
-                           ELSE 0 END) AS BIGINT) AS bucket
-      FROM proj GROUP BY 1)
-"""
-
-
-@q(
-    "ann_lsh_bucketed",
-    f"""
-    WITH {_BUCKET_SQL},
-    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-          FROM embeddings),
-    cand AS (
-      SELECT ba.vec_id AS x, bb.vec_id AS y
-      FROM buckets ba JOIN buckets bb
-        ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
-    SELECT c.x, c.y, round({_COS_SQL}, 6) AS sim
-    FROM cand c JOIN e a ON a.vec_id = c.x JOIN e b ON b.vec_id = c.y
-    WHERE {_COS_SQL} >= {ANN_COSINE_T}
-    """,
-)
-def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
-    # constant hyperplane dim (8×64 rows) built driver-side with the same
-    # md5 parity as the oracle SQL — a literal dimension table, no join
-    # chain of ranges in the plan
-    planes = F.broadcast(
-        spark.createDataFrame(
-            [
-                (j, d, _sign_of(f"{j}:{d}"))
-                for j in range(N_PLANES)
-                for d in range(1, 65)
-            ],
-            "j int, d int, r int",
-        )
-    )
-    vq = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("d0", "val"),
-    ).select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.round(F.col("val").cast("double") * 1000, 0).cast("bigint").alias("q"),
-    )
-    proj = (
-        vq.join(planes, "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
-    )
-    buckets = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("bigint")
-        .alias("bucket")
-    )
-    ba = buckets.select(F.col("vec_id").alias("x"), "bucket")
-    bb = buckets.select(F.col("vec_id").alias("y"), "bucket")
-    cand = ba.join(bb, "bucket").filter(F.col("x") < F.col("y")).select("x", "y")
-    e = _emb(spark, sf)
-    cos = _cos_cols(F.col("va"), F.col("vb"))
-    return (
-        cand.join(e.select(F.col("vec_id").alias("x"), F.col("v").alias("va")), "x")
-        .join(e.select(F.col("vec_id").alias("y"), F.col("v").alias("vb")), "y")
-        .filter(cos >= ANN_COSINE_T)
-        .select("x", "y", F.round(cos, 6).alias("sim"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Embedding near-dup, the SCALE path (the all-pairs dedup_embedding_cosine in
-# dedup.py is the small-scale oracle shape): candidates come from equi-joins
-# on (table, bucket) over ND_TABLES independent sign-random-projection hash
-# tables — OR-amplification raises recall in the high-similarity band while
-# the pair space stays per-bucket, never n². Exact cosine verifies, so every
-# emitted pair is a true >= ND_COSINE_T near-dup. Deterministic integer
-# projection (same scheme as ann_lsh_bucketed) keeps buckets bit-identical
-# across engines and partitionings.
-_ND_BUCKET_SQL = f"""
-    nd_planes AS (
+# Deterministic ±1 hyperplane component for (table t, plane j, dim d):
+# parity of the shared base hash of "t:j:d". Quantized projection keeps
+# bucketing integer. One SQL template serves both LSH families (they differ
+# only in the table count and CTE prefix); the plane count comes from the
+# nv CTE — computed from the corpus count, never a constant.
+def _srp_bucket_sql(prefix: str, n_tables: int) -> str:
+    return f"""
+    {prefix}nv AS ({_SRP_PLANES_SQL}),
+    {prefix}planes AS (
       SELECT t, j, d,
              CASE WHEN CAST('0x' || substr(md5(CAST(t AS VARCHAR) || ':' ||
                   CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
                   % 2 = 1 THEN 1 ELSE -1 END AS r
-      FROM unnest(generate_series(0, {ND_TABLES - 1})) AS gt(t)
-      CROSS JOIN unnest(generate_series(0, {ND_PLANES - 1})) AS gj(j)
+      FROM {prefix}nv
+      CROSS JOIN unnest(generate_series(0, {n_tables - 1})) AS gt(t)
+      CROSS JOIN unnest(generate_series(0, {prefix}nv.p - 1)) AS gj(j)
       CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
-    nd_vq AS (
+    {prefix}vq AS (
       SELECT vec_id, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS q
       FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
-    nd_proj AS (
-      SELECT nd_vq.vec_id, p.t, p.j, sum(nd_vq.q * p.r) AS dot
-      FROM nd_vq JOIN nd_planes p ON nd_vq.d = p.d
+    {prefix}proj AS (
+      SELECT {prefix}vq.vec_id, p.t, p.j, sum({prefix}vq.q * p.r) AS dot
+      FROM {prefix}vq JOIN {prefix}planes p ON {prefix}vq.d = p.d
       GROUP BY 1, 2, 3),
-    nd_buckets AS (
+    {prefix}buckets AS (
       SELECT vec_id, t,
              CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
                            ELSE 0 END) AS BIGINT) AS bucket
-      FROM nd_proj GROUP BY 1, 2)
+      FROM {prefix}proj GROUP BY 1, 2)
 """
 
 
-@q(
-    "dedup_embedding_lsh",
-    f"""
-    WITH {_ND_BUCKET_SQL},
-    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-          FROM embeddings),
-    cand AS (
-      SELECT DISTINCT ba.vec_id AS x, bb.vec_id AS y
-      FROM nd_buckets ba JOIN nd_buckets bb
-        ON ba.t = bb.t AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
-    SELECT c.x, c.y, round({_COS_SQL}, 6) AS sim
-    FROM cand c JOIN e a ON a.vec_id = c.x JOIN e b ON b.vec_id = c.y
-    WHERE {_COS_SQL} >= {ND_COSINE_T}
-    """,
-)
-def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def _srp_buckets(spark: SparkSession, sf: str, n_tables: int) -> DataFrame:
+    """(vec_id, t, bucket): the Spark twin of :func:`_srp_bucket_sql`.
+
+    The plane count is srp_planes(corpus count) — a metadata-cheap count()
+    over the parquet scan, the same number the oracle's nv CTE computes.
+    Plane signs are a tiny literal dimension (T·P·64 rows) broadcast against
+    the posexploded quantized vectors; projection + sign-bit packing are one
+    broadcast join + two map-side-combinable groupBys — all codegen, no
+    Python crossing, shuffle keyed on vec_id (linear in corpus size)."""
     emb = t(spark, sf, "embeddings")
+    n_planes = srp_planes(emb.count())
     planes = F.broadcast(
         spark.createDataFrame(
             [
                 (tb, j, d, _sign_of(f"{tb}:{j}:{d}"))
-                for tb in range(ND_TABLES)
-                for j in range(ND_PLANES)
+                for tb in range(n_tables)
+                for j in range(n_planes)
                 for d in range(1, 65)
             ],
             "t int, j int, d int, r int",
@@ -258,7 +196,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("vec_id", "t", "j")
         .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
     )
-    buckets = proj.groupBy("vec_id", "t").agg(
+    return proj.groupBy("vec_id", "t").agg(
         F.sum(
             F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
                 F.lit(0)
@@ -267,6 +205,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     )
+
+
+def _srp_verified_pairs(
+    spark: SparkSession, sf: str, buckets: DataFrame, cosine_t: float
+) -> DataFrame:
+    """Candidate pairs from the (t, bucket) equi-join, exact-cosine verified."""
     ba = buckets.select(F.col("vec_id").alias("x"), "t", "bucket")
     bb = buckets.select(F.col("vec_id").alias("y"), "t", "bucket")
     cand = (
@@ -280,6 +224,54 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return (
         cand.join(e.select(F.col("vec_id").alias("x"), F.col("v").alias("va")), "x")
         .join(e.select(F.col("vec_id").alias("y"), F.col("v").alias("vb")), "y")
-        .filter(cos >= ND_COSINE_T)
+        .filter(cos >= cosine_t)
         .select("x", "y", F.round(cos, 6).alias("sim"))
     )
+
+
+@q(
+    "ann_lsh_bucketed",
+    f"""
+    WITH {_srp_bucket_sql("", AN_TABLES)},
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cand AS (
+      SELECT DISTINCT ba.vec_id AS x, bb.vec_id AS y
+      FROM buckets ba JOIN buckets bb
+        ON ba.t = bb.t AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+    SELECT c.x, c.y, round({_COS_SQL}, 6) AS sim
+    FROM cand c JOIN e a ON a.vec_id = c.x JOIN e b ON b.vec_id = c.y
+    WHERE {_COS_SQL} >= {ANN_COSINE_T}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    buckets = _srp_buckets(spark, sf, AN_TABLES)
+    return _srp_verified_pairs(spark, sf, buckets, ANN_COSINE_T)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, the SCALE path (the all-pairs dedup_embedding_cosine in
+# dedup.py is the small-scale oracle shape): candidates come from equi-joins
+# on (table, bucket) over ND_TABLES independent sign-random-projection hash
+# tables — OR-amplification raises recall in the high-similarity band while
+# the pair space stays per-bucket, never n². Exact cosine verifies, so every
+# emitted pair is a true >= ND_COSINE_T near-dup. Plane count per table is
+# srp_planes(corpus count) — see the module docstring's sizing rule.
+@q(
+    "dedup_embedding_lsh",
+    f"""
+    WITH {_srp_bucket_sql("nd_", ND_TABLES)},
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cand AS (
+      SELECT DISTINCT ba.vec_id AS x, bb.vec_id AS y
+      FROM nd_buckets ba JOIN nd_buckets bb
+        ON ba.t = bb.t AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+    SELECT c.x, c.y, round({_COS_SQL}, 6) AS sim
+    FROM cand c JOIN e a ON a.vec_id = c.x JOIN e b ON b.vec_id = c.y
+    WHERE {_COS_SQL} >= {ND_COSINE_T}
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    buckets = _srp_buckets(spark, sf, ND_TABLES)
+    return _srp_verified_pairs(spark, sf, buckets, ND_COSINE_T)
