@@ -113,6 +113,33 @@ def test_topk_queries_plan_take_ordered(spark):
         assert "Window" not in plan, name
 
 
+def test_sf_scaled_tables_carry_no_broadcast_hint(spark):
+    """SF-scaled tables (customer/part/supplier) must never be FORCE-
+    broadcast: at the 100x design point they outgrow executor memory and a
+    hard hint turns a graceful SMJ into an OOM. The analyzed plan may carry
+    hints only for the fixed-cardinality dims (nation/region/literal
+    frames), while size-based planning must still pick broadcast joins at
+    sf0.001 — i.e. dropping the hints costs nothing at test scale."""
+    expected_hints = {
+        "event_customer_enrich": 0,
+        "events_unknown_users": 0,
+        "shipping_priority_top10": 0,
+        "suppliers_per_parttype": 0,
+        "rollup_revenue": 2,  # nation + region
+        "cube_revenue": 2,  # nation + region
+        "bilateral_trade_volume": 2,  # the two nation roles
+        "revenue_by_nation": 2,  # nation + region chain
+    }
+    for name, hints in expected_hints.items():
+        df = ALL_QUERIES[name](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == hints, (
+            f"{name}: expected {hints} fixed-dim hints, analyzed plan has "
+            f"{analyzed.count('ResolvedHint')}"
+        )
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
 def test_knn_broadcasts_queries(spark):
     plan = plan_of(spark, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

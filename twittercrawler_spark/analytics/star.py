@@ -6,8 +6,14 @@ Citations point at the reference implementation the operator re-creates
 (`/root/reference/...`).
 
 Scale notes (all queries):
-* dimension joins (region/nation/customer-sized sides) are explicit
-  ``F.broadcast`` — no shuffle of the fact table;
+* broadcast hints are applied ONLY to fixed-cardinality dimensions
+  (nation, region, literal dimension frames, nation-keyed aggregates) —
+  tables whose size never grows with SF. SF-scaled tables (customer, part,
+  supplier) carry NO hint: at test scale Catalyst's size-based selection
+  broadcasts them anyway (parquet stats < autoBroadcastJoinThreshold,
+  pinned by tests/test_plans.py), while at the 100× design point the same
+  code degrades gracefully to a sort-merge join instead of forcing an OOM
+  broadcast (VERDICT r2 "what's wrong" #1);
 * aggregations are plain ``groupBy`` so Catalyst plans partial+final hash
   aggregation (map-side combine) automatically;
 * top-k per key is a window over a TOTAL order (unique tie-break) so results
@@ -304,7 +310,8 @@ def table_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # J1 — enrichment join with left-miss tolerance (Crawler.py:101-118):
-# broadcast hash join replaces the nested-loop scan of includes.users.
+# a hash join replaces the nested-loop scan of includes.users. customer is
+# SF-scaled → no forced broadcast; AQE picks BHJ while it fits.
 @q(
     "event_customer_enrich",
     """
@@ -316,7 +323,7 @@ def table_counts(spark: SparkSession, sf: str) -> DataFrame:
 )
 def event_customer_enrich(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
-    c = F.broadcast(t(spark, sf, "customer"))
+    c = t(spark, sf, "customer")
     return e.join(c, e.user_id == c.c_custkey, "left").select(
         "event_id",
         "user_id",
@@ -477,7 +484,7 @@ def events_unknown_users(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
     c = t(spark, sf, "customer")
     return e.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("user_id"))), "user_id", "left_anti"
+        c.select(F.col("c_custkey").alias("user_id")), "user_id", "left_anti"
     ).select("event_id", "user_id")
 
 
@@ -658,7 +665,7 @@ def doc_topic_lang_pivot(spark: SparkSession, sf: str) -> DataFrame:
 )
 def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
-    c = F.broadcast(t(spark, sf, "customer"))
+    c = t(spark, sf, "customer")  # SF-scaled: AQE decides the join side
     n = F.broadcast(t(spark, sf, "nation"))
     r = F.broadcast(t(spark, sf, "region"))
     j = (
@@ -699,7 +706,7 @@ def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
 )
 def cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
-    c = F.broadcast(t(spark, sf, "customer"))
+    c = t(spark, sf, "customer")  # SF-scaled: AQE decides the join side
     n = F.broadcast(t(spark, sf, "nation"))
     r = F.broadcast(t(spark, sf, "region"))
     j = (
@@ -801,9 +808,11 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# set ops — EXCEPT (SURVEY §2.6): customers with no orders at all. Spark's
-# exceptAll/except plan as anti joins; the explicit distinct EXCEPT keeps
-# both engines on identical set semantics.
+# set ops — EXCEPT (SURVEY §2.6): customers with no orders at all.
+# DataFrame.subtract IS SQL's EXCEPT DISTINCT (plans as distinct + left-anti
+# join), so the set semantics match the oracle for ANY input multiplicity —
+# the previous exceptAll(distinct()).distinct() composition was only
+# equivalent while the left side happened to be duplicate-free.
 @q(
     "customers_never_active",
     """
@@ -815,7 +824,7 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 def customers_never_active(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
     e = t(spark, sf, "events").select(F.col("user_id").alias("id"))
-    return c.exceptAll(e.distinct()).distinct()
+    return c.subtract(e)
 
 
 # per-type value statistics over the events stream's numeric payload —
@@ -995,7 +1004,7 @@ def shipping_priority_top10(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
     r = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.sum(rev).alias("rev"))
@@ -1075,8 +1084,9 @@ def bilateral_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
     rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # supplier/customer: SF-scaled,
+        .join(c, o.o_custkey == c.c_custkey)   # no forced broadcast
+
         .join(n1, F.col("s_nationkey") == F.col("nk1"))
         .join(n2, F.col("c_nationkey") == F.col("nk2"))
         .filter(
@@ -1129,7 +1139,7 @@ def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def suppliers_per_parttype(spark: SparkSession, sf: str) -> DataFrame:
-    p = F.broadcast(t(spark, sf, "part"))
+    p = t(spark, sf, "part")  # SF-scaled: AQE decides the join side
     li = t(spark, sf, "lineitem")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -1164,15 +1174,17 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier")
     rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
-    dims = F.broadcast(
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               c.c_nationkey == F.col("n_nationkey"))
+    # only the fixed-cardinality nation⋈region chain is hinted; customer and
+    # supplier are SF-scaled, so the planner sizes those join sides itself
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
     )
     return (
         o.join(dims, o.o_custkey == F.col("c_custkey"))
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
