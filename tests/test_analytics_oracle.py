@@ -31,6 +31,8 @@ SUBSET = [
     "knn_bruteforce",
     "lang_id_heuristic",
     "token_stats",
+    "top_ngrams",
+    "doc_length_percentiles",
     "text_classify_scores",
     "session_windows",
     "events_asof_orders",
