@@ -81,6 +81,42 @@ def test_query_matches_oracle(spark, duck, name):
     assert srows == orows
 
 
+def test_classify_with_model_drives_pickled_artifact(spark, tmp_path):
+    """The classify_with_model seam must work with a REAL loaded artifact:
+    pickle a model to disk, load it in the driver, score through the
+    mapInPandas seam, and match a local predict() call exactly (same
+    deterministic arithmetic ⇒ bit-identical floats). Mirrors the
+    reference's pickled-classifier lifecycle (Random_Forest_Classifier.py:
+    53-75: load → batch predict)."""
+    import pickle
+
+    from twittercrawler_spark.analytics.classify import (
+        HashingLinearModel,
+        classify_with_model,
+    )
+
+    path = tmp_path / "model.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(HashingLinearModel(), f)
+    with open(path, "rb") as f:
+        model = pickle.load(f)
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    local_rows = docs.collect()
+    expected = dict(
+        zip(
+            [r["doc_id"] for r in local_rows],
+            model.predict([str(r["text"]) for r in local_rows]),
+        )
+    )
+    got = {r["doc_id"]: r["score"] for r in classify_with_model(docs, model.predict).collect()}
+    assert got == expected  # exact float equality: identical arithmetic
+
+
 def test_classify_scorer_skips_null_text():
     """NULL text must yield no row (the oracle emits none), never the
     literal token 'none'."""

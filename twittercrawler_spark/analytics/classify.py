@@ -133,3 +133,32 @@ def classify_with_model(df: DataFrame, predict) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": scores})
 
     return df.mapInPandas(run, "doc_id bigint, score double")
+
+
+class HashingLinearModel:
+    """A minimal REAL model artifact for the :func:`classify_with_model`
+    seam: pickle-able state (feature dim + weight vector), a
+    ``predict(list[str]) -> list[float]`` method — the same load-once →
+    ship-to-workers → batch-predict lifecycle as the reference's pickled
+    RandomForest (`/root/reference/pages/Postprocess_scripts/
+    Random_Forest_Classifier.py:53-75`). The driver unpickles it once and
+    the bound ``predict`` travels to executors inside the serialized
+    ``mapInPandas`` closure — the broadcast-model pattern (weights cross
+    the wire once per task, never per row). Deterministic arithmetic, so a
+    distributed run is bit-identical to a local ``predict`` call.
+    """
+
+    def __init__(self, dim: int = D, weights: list[int] | None = None):
+        self.dim = int(dim)
+        self.weights = list(weights) if weights is not None else list(WEIGHTS)
+
+    def predict(self, texts: list[str]) -> list[float]:
+        out: list[float] = []
+        for text in texts:
+            toks = [w for w in _WS.split(str(text).lower()) if w]
+            if not toks:
+                out.append(0.0)
+                continue
+            s = sum(self.weights[py_base_hash32(tk) % self.dim] for tk in toks)
+            out.append(s / (len(toks) * 1000.0))
+        return out
