@@ -32,10 +32,16 @@ def t_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     A single-file single-row-group parquet input cannot split below
     row-group granularity, so a small-SF table otherwise runs expensive
     per-document expressions on ONE core. At production scale tables have
-    many files/row groups and this is a no-op (no shuffle added)."""
+    many files/row groups and this is a no-op (no shuffle added).
+
+    The under-split decision reads the scan's FILE LIST (a metadata lookup
+    — byte-range splits of one single-row-group file are empty anyway),
+    not ``df.rdd.getNumPartitions()``: converting to an RDD materializes a
+    plan translation per query construction for a number the file listing
+    already gives us."""
     df = t(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
