@@ -34,6 +34,7 @@ SUBSET = [
     "top_ngrams",
     "doc_length_percentiles",
     "text_classify_scores",
+    "referenced_tweet_extract",
     "session_windows",
     "events_asof_orders",
     "stratified_sample",

@@ -611,6 +611,98 @@ def props_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# F3 — the EXACT referenced-tweet fallback chain (PreprocessDump.py:289-322):
+# 4 levels over a nested record — (1) v2 `referenced_tweets` string: id from
+# the text after "id=", type from the type token; (2) v1
+# `retweeted_status.id` → retweet; (3) v1 `quoted_status.id` → quote;
+# (4) (NULL, NULL). The nested input is synthesized DETERMINISTICALLY from
+# the events table in BOTH engines (click → v2 string, view → v1 retweet
+# struct, purchase → v1 quote struct, signup/error → empty), so the oracle
+# differentially tests the chain itself, level by level. The Spark side
+# builds a real nested STRUCT column and coalesces over struct-field access
+# — the shape the reference's try/except fallback walks.
+# Documented divergence (SURVEY §7.4): the reference maps "replied_to" →
+# "quote" (inversion bug, PreprocessDump.py:299-303); we implement the
+# documented-intended mapping replied_to→reply / retweeted→retweet /
+# quoted→quote in BOTH engines.
+@q(
+    "referenced_tweet_extract",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN
+               'type=' || (CASE event_id % 3 WHEN 0 THEN 'replied_to'
+                                             WHEN 1 THEN 'retweeted'
+                                             ELSE 'quoted' END)
+               || ' id=' || CAST(event_id * 7 AS VARCHAR)
+             END AS referenced_tweets,
+             CASE WHEN event_type = 'view' THEN user_id * 3 END AS rs_id,
+             CASE WHEN event_type = 'purchase' THEN user_id * 5 END AS qs_id
+      FROM events)
+    SELECT event_id,
+           CASE WHEN referenced_tweets IS NOT NULL THEN
+                  CASE WHEN contains(referenced_tweets, 'replied_to') THEN 'reply'
+                       WHEN contains(referenced_tweets, 'retweeted') THEN 'retweet'
+                       WHEN contains(referenced_tweets, 'quoted') THEN 'quote'
+                  END
+                WHEN rs_id IS NOT NULL THEN 'retweet'
+                WHEN qs_id IS NOT NULL THEN 'quote'
+           END AS ref_type,
+           coalesce(
+             CASE WHEN referenced_tweets IS NOT NULL
+                  THEN CAST(regexp_extract(referenced_tweets, 'id=([0-9]+)', 1) AS BIGINT)
+             END,
+             rs_id, qs_id) AS ref_id
+    FROM src
+    """,
+)
+def referenced_tweet_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    # synthesize the nested record the reference walks: a v2 string field
+    # plus two v1 struct fields (retweeted_status / quoted_status)
+    v2 = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lit("type="),
+            F.element_at(
+                F.array(F.lit("replied_to"), F.lit("retweeted"), F.lit("quoted")),
+                (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+            ),
+            F.lit(" id="),
+            (F.col("event_id") * 7).cast("string"),
+        ),
+    )
+    nested = e.select(
+        "event_id",
+        F.struct(
+            v2.alias("referenced_tweets"),
+            F.struct(
+                F.when(F.col("event_type") == "view", F.col("user_id") * 3).alias("id")
+            ).alias("retweeted_status"),
+            F.struct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id") * 5).alias("id")
+            ).alias("quoted_status"),
+        ).alias("tw"),
+    )
+    rt = F.col("tw.referenced_tweets")
+    ref_type = F.when(
+        rt.isNotNull(),
+        F.when(rt.contains("replied_to"), "reply")
+        .when(rt.contains("retweeted"), "retweet")
+        .when(rt.contains("quoted"), "quote"),
+    ).otherwise(
+        F.when(F.col("tw.retweeted_status.id").isNotNull(), "retweet").when(
+            F.col("tw.quoted_status.id").isNotNull(), "quote"
+        )
+    )
+    ref_id = F.coalesce(
+        F.when(rt.isNotNull(), F.regexp_extract(rt, r"id=([0-9]+)", 1).cast("bigint")),
+        F.col("tw.retweeted_status.id"),
+        F.col("tw.quoted_status.id"),
+    )
+    return nested.select("event_id", ref_type.alias("ref_type"), ref_id.alias("ref_id"))
+
+
 # A1 render — the reference's multi-indexed (topic × lang) counts frame
 # (create_counts_df, PreprocessDump.py:21-34): groupBy().pivot().count()
 # with the pivot values pinned (no discovery pass — at scale an unpinned
