@@ -107,6 +107,36 @@ def test_url_hash64_spark_parity(spark):
         assert got[u] == url_hash64(u), u
 
 
+def test_host_bucket_salted_spark_parity(spark):
+    """spark_host_bucket == host_bucket_of, and one host's urls land in at
+    most S distinct buckets while still using more than one (SURVEY §4.3:
+    co-located enough for per-host scheduling, spread enough for skew)."""
+    import pyspark.sql.functions as F
+
+    from twittercrawler_spark.functions.urls import host_bucket_of, spark_host_bucket
+
+    nb, s = 32, 8
+    urls = [f"http://hot.example.com/p/{i}" for i in range(200)] + [
+        f"http://h{i}.other.org/x" for i in range(20)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url",
+        F.regexp_extract("url", r"^[a-z0-9+.-]+://([^/?#]+)", 1).alias("host"),
+        spark_url_hash64("url").alias("url_hash"),
+    )
+    rows = df.select(
+        "url", "host", "url_hash",
+        spark_host_bucket("host", "url_hash", nb, s).alias("b"),
+    ).collect()
+    hot_buckets = set()
+    for r in rows:
+        assert r["b"] == host_bucket_of(r["host"], r["url_hash"], nb, s), r["url"]
+        assert 0 <= r["b"] < nb
+        if r["host"] == "hot.example.com":
+            hot_buckets.add(r["b"])
+    assert 1 < len(hot_buckets) <= s, hot_buckets
+
+
 def test_url_hash64_duckdb_parity():
     import duckdb
 

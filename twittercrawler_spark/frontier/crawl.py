@@ -43,7 +43,7 @@ from ..functions.udfs import (
     udf_canonicalize_rel,
     udf_extract_text_links,
 )
-from ..functions.urls import spark_url_hash64
+from ..functions.urls import spark_host_bucket, spark_url_hash64
 from ..sources.tables import Warehouse
 from .scheduler import select_per_host_topk, with_global_sequence
 from .seen import filter_unseen, plan_update, update_bloom_sidecar
@@ -76,18 +76,27 @@ _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
 _HOST_RE = r"^[a-z0-9+.-]+://([^/?#]+)"
 
 
-def _with_url_cols(df: DataFrame, num_buckets: int) -> DataFrame:
+def _with_url_cols(df: DataFrame, num_buckets: int, salt_sub_buckets: int) -> DataFrame:
     """Add url_hash/host/host_bucket/path derived from canonical ``url``.
 
     Canonical URLs are machine-made (scheme://netloc/path[?q]), so host and
     path come from JVM-side regexps inside whole-stage codegen — no Python
     crossing (udf_host stays for raw/edge-case inputs; parity asserted in
     tests/test_urls.py).
+
+    ``host_bucket`` is the SALTED-HOST key of SURVEY §4.3 — hash(host) plus
+    a url-derived salt in [0, S) — so each host's frontier/seen rows cluster
+    into at most S of the NB buckets: per-host work co-locates (fetch joins,
+    seen probes, scheduling windows touch a handful of partitions per host)
+    while a hot host still spreads across S tasks instead of pinning one.
     """
     return (
         df.withColumn("url_hash", spark_url_hash64("url"))
         .withColumn("host", F.regexp_extract("url", _HOST_RE, 1))
-        .withColumn("host_bucket", F.pmod(F.col("url_hash"), F.lit(num_buckets)).cast("int"))
+        .withColumn(
+            "host_bucket",
+            spark_host_bucket("host", "url_hash", num_buckets, salt_sub_buckets),
+        )
         .withColumn("path", F.regexp_extract("url", _PATH_RE, 1))
     )
 
@@ -116,7 +125,7 @@ def bootstrap(
     canon = (
         canon.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    canon = _with_url_cols(canon, cfg.num_buckets)
+    canon = _with_url_cols(canon, cfg.num_buckets, cfg.salt_sub_buckets)
     # cluster the corpus by host_bucket so per-round fetch joins and seen
     # probes co-locate (the Iceberg partition-spec analog)
     canon = canon.repartition(cfg.num_buckets, "host_bucket")
@@ -130,7 +139,7 @@ def bootstrap(
         .agg(F.max("priority").alias("priority"))
         .withColumn("discovered_round", F.lit(0))
     )
-    seeds = _with_url_cols(seeds, cfg.num_buckets)
+    seeds = _with_url_cols(seeds, cfg.num_buckets, cfg.salt_sub_buckets)
     wh.write("frontier", seeds.select(
         "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
     ), 0)
@@ -234,10 +243,27 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             )
             sidecar_next = update_bloom_sidecar(new_hashes, sidecar_prev, overflow, full)
         wh.write("seen_bloom", sidecar_next, rnd)
+        # authoritative (n_items, cap) counters come from the table just
+        # written — manifest meta and sidecar state share ONE source, so a
+        # future path that introduced duplicate (host_bucket, url_hash) rows
+        # (i.e. a double fetch) trips the invariant check below instead of
+        # silently desynchronizing the overflow planner from the bitsets
+        table_meta = {
+            int(r["host_bucket"]): (int(r["n_items"]), int(r["cap"]))
+            for r in wh.read_uncommitted(spark, "seen_bloom", rnd)
+            .select("host_bucket", "n_items", "cap")
+            .collect()
+        }
+        if table_meta != bloom_meta:
+            raise AssertionError(
+                "bloom_meta planner disagrees with the written sidecar — the "
+                f"seen table holds unexpected duplicate keys? plan={bloom_meta} "
+                f"table={table_meta}"
+            )
         tm.note("seen+sidecar", time.time() - t0)
-        return bloom_meta
+        return table_meta
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, wait as _fut_wait
 
     pool = ThreadPoolExecutor(max_workers=1)
     seen_fut = pool.submit(_seen_and_sidecar)
@@ -245,148 +271,162 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # the main fetch path can never leak the worker thread
     seen_fut.add_done_callback(lambda _: pool.shutdown(wait=False))
 
-    # "fetch": ship the SCHEDULE to the DATA — the selected slice is
-    # quota-bounded (politeness) and tiny next to the page corpus, so it
-    # broadcasts against the pages scan and the html bytes NEVER shuffle;
-    # extraction (the only Python crossings, Arrow-batched) then runs
-    # scan-local on the fetched rows only. (At frontier sizes where a round's
-    # schedule outgrew the broadcast budget, dropping the hint falls back to
-    # a bucket-co-located SMJ — same plan shape, still no html re-shuffle
-    # with host_bucket-bucketed storage.)
-    sel_keys = selected.select("url", "seq", "priority", "host", "host_bucket")
-    hit = (
-        pages.select("url", "html", "lang")
-        .join(F.broadcast(sel_keys), "url")
-        .withColumn("_ex", udf_extract_text_links(F.col("html")))
-        .withColumn("text", F.col("_ex.text"))
-        .withColumn("links", F.col("_ex.links"))
-        .withColumn("status", F.lit("ok"))
-        .drop("html", "_ex")
-    )
-    miss = (
-        sel_keys.join(pages.select("url"), "url", "left_anti")
-        .withColumn("lang", F.lit(None).cast("string"))
-        .withColumn("text", F.lit(None).cast("string"))
-        .withColumn("links", F.lit(None).cast("array<string>"))
-        .withColumn("status", F.lit("missing"))
-    )
-    fetched = hit.unionByName(miss, allowMissingColumns=False)
-
-    # The fetch_log WRITE is the round's materialization point: extraction
-    # runs exactly once into the durable table; downstream link expansion
-    # re-reads it COLUMN-PRUNED (url, priority, links — the text bytes stay
-    # on disk). Caching these wide rows on-heap instead measurably collapses
-    # under GC at high parallelism. fetch_log keeps the scan-local layout
-    # (no text shuffle); crawl order is the seq COLUMN, never file order
-    # (SURVEY.md §7.4).
-    wh.write(
-        "fetch_log",
-        fetched.select(
-            "seq", "url", "host", "host_bucket", "status", "text", "lang",
-            "priority", "links",
-        ),
-        rnd,
-    )
-    fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd)
-    tm.lap("fetch+extract+write")
-
-    # expand: out-links → canonicalize vs base → max child priority per url
-    links = (
-        fetched_log.filter(F.col("status") == "ok")
-        .select(
-            F.explode("links").alias("href"),
-            F.col("url").alias("base_url"),
-            (F.col("priority") * cfg.priority_decay).alias("child_priority"),
+    # the whole main path joins the overlapped thread on BOTH exits: the
+    # success path consumes its bloom_meta below; a failure here must not
+    # propagate while the sidecar thread still runs Spark jobs (shutdown
+    # cannot cancel a running task, and a hung write would otherwise block
+    # interpreter exit with the round's real error unreported)
+    try:
+        # "fetch": ship the SCHEDULE to the DATA — the selected slice is
+        # quota-bounded (politeness) and tiny next to the page corpus, so it
+        # broadcasts against the pages scan and the html bytes NEVER shuffle;
+        # extraction (the only Python crossings, Arrow-batched) then runs
+        # scan-local on the fetched rows only. (At frontier sizes where a round's
+        # schedule outgrew the broadcast budget, dropping the hint falls back to
+        # a bucket-co-located SMJ — same plan shape, still no html re-shuffle
+        # with host_bucket-bucketed storage.)
+        sel_keys = selected.select("url", "seq", "priority", "host", "host_bucket")
+        hit = (
+            pages.select("url", "html", "lang")
+            .join(F.broadcast(sel_keys), "url")
+            .withColumn("_ex", udf_extract_text_links(F.col("html")))
+            .withColumn("text", F.col("_ex.text"))
+            .withColumn("links", F.col("_ex.links"))
+            .withColumn("status", F.lit("ok"))
+            .drop("html", "_ex")
         )
-        .withColumn("url", udf_canonicalize_rel(F.col("href"), F.col("base_url")))
-        .filter(F.col("url").isNotNull())
-        .groupBy("url")
-        .agg(F.max("child_priority").alias("priority"))
-    )
-    links = _with_url_cols(links, cfg.num_buckets)
-
-    # dedup: not fetched this round, not in prior seen (Bloom prefilter +
-    # exact anti-join), not already pending. The sidecar is the committed
-    # per-bucket Bloom TABLE maintained incrementally below — never built by
-    # collecting hashes to the driver.
-    links = links.join(selected.select("url"), "url", "left_anti")
-    links = filter_unseen(spark, links, seen_prior, sidecar_prev)
-    remaining = gated.join(selected.select("url"), "url", "left_anti")
-    links = links.join(remaining.select("url"), "url", "left_anti")
-    new_pending = links.withColumn("discovered_round", F.lit(rnd)).select(
-        "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
-    )
-
-    # the frontier WRITE is the merge's single materialization (same durable-
-    # table-as-checkpoint pattern as fetch_log); new-link rows are recovered
-    # from the written table by discovered_round — no on-heap caching
-    frontier_next = remaining.select(
-        "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
-    ).unionByName(new_pending)
-    frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
-    wh.write("frontier", frontier_next, rnd)
-    tm.lap("expand+frontier_write")
-    frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
-
-    # per-partition lineage metrics (north rule): per-host_bucket counts at
-    # each stage of this round, in ONE fused job that scans each input once:
-    # * candidates = last round's frontier_next lineage (tiny metrics read —
-    #   the frontier is never rescanned just to count it);
-    # * new_links + frontier_next come from a single scan of the written
-    #   frontier (two aggregate columns, unpivoted via stack);
-    # * selected counts scan the checkpointed schedule slice.
-    prev_metrics = wh.read_round(spark, "metrics", rnd - 1)
-    if prev_metrics is not None:
-        cand_m = (
-            prev_metrics.drop("round")
-            .filter(F.col("stage") == "frontier_next")
-            .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+        miss = (
+            sel_keys.join(pages.select("url"), "url", "left_anti")
+            .withColumn("lang", F.lit(None).cast("string"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("links", F.lit(None).cast("array<string>"))
+            .withColumn("status", F.lit("missing"))
         )
-    else:  # pre-lineage warehouse resume: count the pending frontier directly
-        cand_m = (
-            pending.groupBy("host_bucket")
+        fetched = hit.unionByName(miss, allowMissingColumns=False)
+
+        # The fetch_log WRITE is the round's materialization point: extraction
+        # runs exactly once into the durable table; downstream link expansion
+        # re-reads it COLUMN-PRUNED (url, priority, links — the text bytes stay
+        # on disk). Caching these wide rows on-heap instead measurably collapses
+        # under GC at high parallelism. fetch_log keeps the scan-local layout
+        # (no text shuffle); crawl order is the seq COLUMN, never file order
+        # (SURVEY.md §7.4).
+        wh.write(
+            "fetch_log",
+            fetched.select(
+                "seq", "url", "host", "host_bucket", "status", "text", "lang",
+                "priority", "links",
+            ),
+            rnd,
+        )
+        fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd)
+        tm.lap("fetch+extract+write")
+
+        # expand: out-links → canonicalize vs base → max child priority per url
+        links = (
+            fetched_log.filter(F.col("status") == "ok")
+            .select(
+                F.explode("links").alias("href"),
+                F.col("url").alias("base_url"),
+                (F.col("priority") * cfg.priority_decay).alias("child_priority"),
+            )
+            .withColumn("url", udf_canonicalize_rel(F.col("href"), F.col("base_url")))
+            .filter(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.max("child_priority").alias("priority"))
+        )
+        links = _with_url_cols(links, cfg.num_buckets, cfg.salt_sub_buckets)
+
+        # dedup: not fetched this round, not in prior seen (Bloom prefilter +
+        # exact anti-join), not already pending. The sidecar is the committed
+        # per-bucket Bloom TABLE maintained incrementally below — never built by
+        # collecting hashes to the driver.
+        links = links.join(selected.select("url"), "url", "left_anti")
+        links = filter_unseen(spark, links, seen_prior, sidecar_prev)
+        remaining = gated.join(selected.select("url"), "url", "left_anti")
+        links = links.join(remaining.select("url"), "url", "left_anti")
+        new_pending = links.withColumn("discovered_round", F.lit(rnd)).select(
+            "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
+        )
+
+        # the frontier WRITE is the merge's single materialization (same durable-
+        # table-as-checkpoint pattern as fetch_log); new-link rows are recovered
+        # from the written table by discovered_round — no on-heap caching
+        frontier_next = remaining.select(
+            "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
+        ).unionByName(new_pending)
+        frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
+        wh.write("frontier", frontier_next, rnd)
+        tm.lap("expand+frontier_write")
+        frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
+
+        # per-partition lineage metrics (north rule): per-host_bucket counts at
+        # each stage of this round, in ONE fused job that scans each input once:
+        # * candidates = last round's frontier_next lineage (tiny metrics read —
+        #   the frontier is never rescanned just to count it);
+        # * new_links + frontier_next come from a single scan of the written
+        #   frontier (two aggregate columns, unpivoted via stack);
+        # * selected counts scan the checkpointed schedule slice.
+        prev_metrics = wh.read_round(spark, "metrics", rnd - 1)
+        if prev_metrics is not None:
+            cand_m = (
+                prev_metrics.drop("round")
+                .filter(F.col("stage") == "frontier_next")
+                .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+            )
+        else:  # pre-lineage warehouse resume: count the pending frontier directly
+            cand_m = (
+                pending.groupBy("host_bucket")
+                .agg(F.count("*").alias("n"))
+                .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+            )
+        sel_m = (
+            selected.groupBy("host_bucket")
             .agg(F.count("*").alias("n"))
-            .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+            .select("host_bucket", F.lit("selected").alias("stage"), "n")
         )
-    sel_m = (
-        selected.groupBy("host_bucket")
-        .agg(F.count("*").alias("n"))
-        .select("host_bucket", F.lit("selected").alias("stage"), "n")
-    )
-    fw_m = (
-        frontier_written.groupBy("host_bucket")
-        .agg(
-            F.count("*").alias("fn"),
-            F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
-            .cast("bigint")
-            .alias("nl"),
+        fw_m = (
+            frontier_written.groupBy("host_bucket")
+            .agg(
+                F.count("*").alias("fn"),
+                F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
+                .cast("bigint")
+                .alias("nl"),
+            )
+            .selectExpr(
+                "host_bucket", "stack(2, 'frontier_next', fn, 'new_links', nl) AS (stage, n)"
+            )
         )
-        .selectExpr(
-            "host_bucket", "stack(2, 'frontier_next', fn, 'new_links', nl) AS (stage, n)"
+        metric_rows = cand_m.unionByName(sel_m).unionByName(fw_m)
+        # one compute job on the MAIN path: the lineage table and the commit
+        # totals both come from this collect. (The Bloom-sidecar plan needs its
+        # per-bucket counts EARLIER, so the overlapped thread computes its own
+        # tiny count over the checkpointed slice — that duplication is what buys
+        # the fetch-stage overlap; don't "simplify" it back into this job.)
+        collected = metric_rows.collect()
+        tm.lap("metrics_collect")
+        wh.write(
+            "metrics",
+            spark.createDataFrame(collected, metric_rows.schema),
+            rnd,
         )
-    )
-    metric_rows = cand_m.unionByName(sel_m).unionByName(fw_m)
-    # one compute job on the MAIN path: the lineage table and the commit
-    # totals both come from this collect. (The Bloom-sidecar plan needs its
-    # per-bucket counts EARLIER, so the overlapped thread computes its own
-    # tiny count over the checkpointed slice — that duplication is what buys
-    # the fetch-stage overlap; don't "simplify" it back into this job.)
-    collected = metric_rows.collect()
-    tm.lap("metrics_collect")
-    wh.write(
-        "metrics",
-        spark.createDataFrame(collected, metric_rows.schema),
-        rnd,
-    )
-    totals = {s: 0 for s in ("candidates", "selected", "new_links", "frontier_next")}
-    for r in collected:
-        totals[r["stage"]] += r["n"]
-    n_selected = totals["selected"]
+        totals = {s: 0 for s in ("candidates", "selected", "new_links", "frontier_next")}
+        for r in collected:
+            totals[r["stage"]] += r["n"]
+        n_selected = totals["selected"]
 
-    # join the overlapped seen+sidecar thread (its failure fails the round
-    # BEFORE the commit); its bloom_meta counters go into the manifest
-    bloom_meta = seen_fut.result()
-    tm.lap("join_seen_sidecar")
+        # join the overlapped seen+sidecar thread (its failure fails the round
+        # BEFORE the commit); its bloom_meta counters go into the manifest
+        bloom_meta = seen_fut.result()
+        tm.lap("join_seen_sidecar")
+    except BaseException as e:
+        seen_fut.cancel()  # no-op once started; prevents a not-yet-started run
+        _fut_wait([seen_fut])
+        if not seen_fut.cancelled() and seen_fut.exception() is not None:
+            e.add_note(
+                f"overlapped seen+sidecar thread also failed: {seen_fut.exception()!r}"
+            )
+        raise
 
     wh.commit(
         rnd,

@@ -56,24 +56,49 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     which is quota-bounded rows-per-host and #hosts rows total — metadata
     scale) broadcast-joined back, plus the already-computed ``host_rank``.
     No row-level global sort, no Python crossing, no single-partition pass
-    over row data. (If a single round ever schedules ~10^8 distinct hosts,
-    the offsets window itself gets the same two-level treatment.)
+    over row data. The offsets prefix-sum itself is TWO-LEVEL (intra-prefix
+    running sum + per-prefix-group bases), so even the host-count table
+    never funnels through one task — only the prefix-group totals do, and
+    that table's size is capped by the 2-char prefix alphabet.
     """
     counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
-    # this window runs over the HOST-COUNT table (one row per scheduled host
-    # — metadata scale), so a single partition is intentional. The partition
-    # key is a CONSTANT expression, written non-foldably — Catalyst folds a
-    # plain lit(0) away, which would re-trigger Spark's "No Partition
-    # Defined" warning meant for row-data windows. coalesce keeps the key 0
-    # (one partition) even for a NULL host row from a hand-built frame.
-    w = (
-        Window.partitionBy(F.coalesce(F.length("host"), F.lit(0)) * 0)
+    # TWO-LEVEL running sum (the documented treatment, now implemented):
+    # hosts group by their 2-char prefix — prefix groups are CONTIGUOUS in
+    # host-asc order, so the global prefix-sum decomposes exactly into
+    # (intra-group running sum, partitioned ≤ ~40² ways) + (group base, a
+    # running sum over the one-row-per-group totals table). Only the GROUP
+    # table ever crosses a single-partition window, and its size is
+    # hard-capped by the prefix alphabet — never by how many hosts a round
+    # schedules. Prefix skew (many hosts sharing a prefix) only costs
+    # balance within level 1, never exactness.
+    counts = counts.withColumn("_g", F.substring("host", 1, 2))
+    wi = (
+        Window.partitionBy("_g")
         .orderBy("host")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.withColumn(
-        "_base", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
-    ).select("host", "_base")
+    intra = counts.withColumn("_ibase", F.coalesce(F.sum("_cnt").over(wi), F.lit(0)))
+    # group totals: bounded rows; the single-partition window here is over
+    # that hard-capped table, so it is genuinely metadata-scale by
+    # construction (the constant key is written non-foldably because
+    # Catalyst folds a plain lit(0) away and re-triggers the row-data
+    # window warning this design does NOT deserve).
+    wg = (
+        Window.partitionBy(F.coalesce(F.length("_g"), F.lit(0)) * 0)
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gbase = (
+        counts.groupBy("_g")
+        .agg(F.sum("_cnt").alias("_gcnt"))
+        .withColumn("_gbase", F.coalesce(F.sum("_gcnt").over(wg), F.lit(0)))
+        .select("_g", "_gbase")
+    )
+    offsets = (
+        intra.join(F.broadcast(gbase), "_g")
+        .withColumn("_base", F.col("_gbase") + F.col("_ibase"))
+        .select("host", "_base")
+    )
     return (
         selected.join(F.broadcast(offsets), "host")
         .withColumn(

@@ -231,17 +231,25 @@ def filter_unseen(
 
     candidates must carry (url, url_hash, host_bucket). With a Bloom sidecar,
     definite misses bypass the anti-join shuffle; "maybe" rows go through the
-    exact ``left_anti`` join. The probe cogroups candidates with the sidecar
-    on host_bucket — one bitset per bucket-partition crosses to Python, and
-    the shuffle key matches the frontier table's clustering.
+    exact ``left_anti`` join. The probe cogroups a PRUNED
+    (host_bucket, url_hash, url) projection with the sidecar on host_bucket
+    — one bitset per bucket-partition crosses to Python and only three
+    narrow columns ride the Arrow round-trip, never the candidates' full row
+    set. The surviving url keys then semi-join back onto the full rows
+    (round-sized, and at real scale that shuffle key feeds straight into the
+    frontier merge's host_bucket clustering anyway). Probe parallelism is
+    one task per host_bucket — the bucket count is the deployment's
+    partitioning knob and scales with the cluster, so a hot bucket means the
+    bucketing constant is wrong, not this operator.
     """
     if seen is None:
         return candidates
     if sidecar is None:
         return candidates.join(seen.select("url"), "url", "left_anti")
 
+    probe_in = candidates.select("host_bucket", "url_hash", "url")
     out_schema = T.StructType(
-        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+        list(probe_in.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
     )
 
     def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -257,14 +265,15 @@ def filter_unseen(
 
     side = sidecar.withColumn(
         "host_bucket",
-        F.col("host_bucket").cast(candidates.schema["host_bucket"].dataType),
+        F.col("host_bucket").cast(probe_in.schema["host_bucket"].dataType),
     )
     flagged = (
-        candidates.groupby("host_bucket")
+        probe_in.groupby("host_bucket")
         .cogroup(side.groupby("host_bucket"))
         .applyInPandas(probe, out_schema)
     )
-    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    maybes = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    definite_new = flagged.filter(~F.col("_maybe_seen")).select("url")
+    maybes = flagged.filter(F.col("_maybe_seen")).select("url")
     verified_new = maybes.join(seen.select("url"), "url", "left_anti")
-    return definite_new.unionByName(verified_new)
+    unseen_urls = definite_new.unionByName(verified_new)
+    return candidates.join(unseen_urls, "url", "left_semi")

@@ -111,6 +111,31 @@ def spark_url_hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def spark_host_bucket(host: Column | str, num_buckets: int) -> Column:
-    """Salted-host partitioning key: pmod(url_hash64(host), NB)."""
-    return F.pmod(spark_url_hash64(host), F.lit(num_buckets)).cast("int")
+def spark_host_bucket(
+    host: Column | str,
+    url_hash: Column | str,
+    num_buckets: int,
+    salt_sub_buckets: int,
+) -> Column:
+    """Salted-HOST partitioning key (SURVEY §4.3; the north rule's hot-domain
+    skew control): ``pmod(hash(host) + pmod(url_hash, S), NB)``.
+
+    One host's rows land in at most S buckets — co-located enough that
+    per-host politeness windows and seen probes shuffle to a handful of
+    partitions, spread enough that a 50%-hot host cannot pin a single
+    bucket. S is the same knob as the scheduler's two-phase top-k salt.
+    The host hash reuses the md5-derived :func:`url_hash64` so the key has
+    an exact pure-Python/DuckDB twin (:func:`host_bucket_of`).
+    """
+    uh = F.col(url_hash) if isinstance(url_hash, str) else url_hash
+    return F.pmod(
+        spark_url_hash64(host) + F.pmod(uh, F.lit(salt_sub_buckets)),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
+def host_bucket_of(
+    host: str, url_hash: int, num_buckets: int, salt_sub_buckets: int
+) -> int:
+    """Pure-Python twin of :func:`spark_host_bucket` (parity-tested)."""
+    return (url_hash64(host) + url_hash % salt_sub_buckets) % num_buckets
