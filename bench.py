@@ -40,6 +40,8 @@ HEADLINE = [
     "knn_bruteforce",
     "events_asof_orders",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "curation_pipeline",
     "lang_id_heuristic",
     "text_classify_scores",
     "token_stats",

@@ -41,6 +41,8 @@ SUBSET = [
     "cheapest_order_per_customer",
     "multimodal_meta",
     "multimodal_framesample",
+    "ann_ivf",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Curation composition pass + IVF ANN (analytics/curation.py, similarity.py)."""
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from twittercrawler_spark.analytics import ALL_ORACLES, ALL_QUERIES
+from twittercrawler_spark.analytics.curation import CUR_MIN_TOKENS
+
+
+def _long_en(core: str, n: int = CUR_MIN_TOKENS + 10) -> str:
+    # passes both gates: enough tokens, and 'the' every other token keeps
+    # stop_ratio (hence quality) high
+    return " ".join(f"the {core}{i}" for i in range(n // 2 + 1))
+
+
+def test_curation_pipeline_dirty_input(spark, tmp_path):
+    """Exact duplicates collapse to one survivor, short / low-quality / non-en
+    docs are gated out — verified against the DuckDB oracle on the SAME
+    handmade dirty input (sf0.001+ has no exact dups, so this input is the
+    only gate exercising the dedup stage end-to-end)."""
+    dup_text = _long_en("dup")
+    rows = [
+        (1, dup_text, "en", "srcA", len(dup_text)),
+        (2, dup_text, "en", "srcA", len(dup_text)),  # exact duplicate of 1
+        (3, dup_text, "en", "srcB", len(dup_text)),  # duplicate across sources
+        (4, _long_en("uniq"), "en", "srcA", 10),
+        (5, "the short one", "en", "srcA", 13),  # under the token gate
+        (6, "zzz " * 60, "en", "srcB", 240),  # low quality: one repeated token
+        (7, _long_en("de"), "de", "srcA", 10),  # language-gated out
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(path)
+
+    got = {
+        r["source"]: r.asDict()
+        for r in ALL_QUERIES["curation_pipeline"](spark, str(tmp_path)).collect()
+    }
+    # srcA: candidates 1,2,4,5,6(no:srcB),7(no) -> en srcA = 1,2,4,5; kept = min-id dup (1) + 4
+    assert got["srcA"]["n_candidates"] == 4
+    assert got["srcA"]["n_kept"] == 2
+    # srcB: en candidates 3,6; doc 3's text canon is doc 1 -> dropped; 6 low quality
+    assert got["srcB"]["n_candidates"] == 2
+    assert got["srcB"]["n_kept"] == 0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    oracle = {
+        r[0]: r for r in con.execute(ALL_ORACLES["curation_pipeline"]).fetchall()
+    }
+    for src, row in got.items():
+        o = oracle[src]
+        assert (
+            row["n_candidates"], row["n_kept"], row["n_tokens_kept"]
+        ) == (o[1], o[2], o[3]), src
+        if o[4] is None:
+            assert row["avg_quality_kept"] is None
+        else:
+            assert row["avg_quality_kept"] == pytest.approx(o[4], abs=1e-6)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 over ~sqrt(n) cells must recover a meaningful slice
+    of the exact top-k (recall measured 0.34 at sf0.001; bound set at half),
+    and every pair it does return carries the exact brute-force cosine."""
+    knn = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ALL_QUERIES["knn_bruteforce"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ALL_QUERIES["ann_ivf"](spark, SF_DIR).collect()
+    }
+    hits = set(knn) & set(ivf)
+    assert len(hits) / len(knn) >= 0.15
+    for pair in hits:
+        assert ivf[pair] == knn[pair], pair

@@ -8,6 +8,7 @@ from __future__ import annotations
 from . import (
     classify,
     crawl_queries,
+    curation,
     dedup,
     graph,
     multimodal,
@@ -16,7 +17,7 @@ from . import (
     textstats,
 )
 
-_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, crawl_queries]
+_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, curation, crawl_queries]
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}

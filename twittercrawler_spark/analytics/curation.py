@@ -1,0 +1,138 @@
+"""End-to-end training-data curation pass — the composition query.
+
+A 100 TB pretraining pipeline is not a bag of operators; it is one pass
+that chains them: language gate → per-document quality features → quality
+gate → exact dedup → per-source yield accounting. ``curation_pipeline``
+is that pass as ONE DataFrame program (with a full SQL oracle), built from
+the same primitives the standalone operators use (textstats.quality_score's
+feature formulas, dedup_exact's min-doc_id canonicalization). The near-dup
+stage (dedup_near_canonical) composes after the exact stage in production;
+it stays its own operator here because its LSH oracle is already verified
+independently — the hand-off point is the `kept` doc set this module emits.
+
+Scale shape: one scan of documents feeds the token explode; every stage is
+a filter or a doc_id-keyed aggregation/join (linear, shuffle on doc_id then
+source); nothing widens. The only full-width shuffle is the exact-dedup
+hash groupBy — the same shape dedup_exact already carries at HEADLINE.
+
+Graft provenance: the reference's preprocessing chain — language filter and
+text cleanup before modeling (pages/Preprocess_scripts/PreprocessDump.py:84-89,
+pages/Postprocess_scripts/Random_Forest_Classifier.py:21-40) — generalized
+to the corpus-curation pass a web-scale text pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t, t_split
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+#: curation gates (documented constants; a real deployment tunes per corpus)
+CUR_LANG = "en"
+CUR_MIN_TOKENS = 30
+CUR_MIN_QUALITY = 0.28
+
+_CUR_SQL = f"""
+    WITH cand AS (
+      SELECT doc_id, text, source FROM documents WHERE lang = '{CUR_LANG}'),
+    tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+        FROM cand) u
+      WHERE tk <> ''),
+    feat AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(0.5 * (CAST(count(DISTINCT tk) AS DOUBLE) / count(*)) +
+                   0.5 * (CAST(sum(CASE WHEN tk IN ('the','a','of','and')
+                                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*)),
+                   6) AS quality
+      FROM tok GROUP BY 1),
+    gated AS (
+      SELECT c.doc_id, c.text, c.source, f.n_tokens, f.quality
+      FROM cand c JOIN feat f USING (doc_id)
+      WHERE f.n_tokens >= {CUR_MIN_TOKENS} AND f.quality >= {CUR_MIN_QUALITY}),
+    canon AS (
+      SELECT md5(text) AS hh, min(doc_id) AS canon_id FROM gated GROUP BY 1),
+    kept AS (
+      SELECT g.* FROM gated g JOIN canon c
+      ON md5(g.text) = c.hh AND g.doc_id = c.canon_id)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS n_tokens_kept,
+           round(avg(k.quality), 6) AS avg_quality_kept
+    FROM cand c LEFT JOIN kept k ON c.doc_id = k.doc_id
+    GROUP BY 1
+"""
+
+
+@q("curation_pipeline", _CUR_SQL)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    cand = (
+        t_split(spark, sf, "documents")
+        .filter(F.col("lang") == CUR_LANG)
+        .select("doc_id", "text", "source")
+    )
+    tok = cand.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
+    ).filter(F.col("tk") != "")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and"]])
+    feat = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            0.5 * (F.countDistinct("tk").cast("double") / F.count("*"))
+            + 0.5
+            * (
+                F.sum(F.when(F.array_contains(stop, F.col("tk")), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ),
+            6,
+        ).alias("quality"),
+    )
+    gated = cand.join(feat, "doc_id").filter(
+        (F.col("n_tokens") >= CUR_MIN_TOKENS) & (F.col("quality") >= CUR_MIN_QUALITY)
+    )
+    canon = (
+        gated.select(F.md5("text").alias("hh"), "doc_id")
+        .groupBy("hh")
+        .agg(F.min("doc_id").alias("canon_id"))
+    )
+    # the canonical id IS a doc_id, so membership in the canon set selects
+    # exactly one survivor per identical-text group
+    kept = gated.join(
+        canon.select(F.col("canon_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return (
+        cand.join(
+            kept.select("doc_id", "n_tokens", "quality").withColumnRenamed(
+                "doc_id", "kept_id"
+            ),
+            cand["doc_id"] == F.col("kept_id"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.count("kept_id").cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            F.round(F.avg("quality"), 6).alias("avg_quality_kept"),
+        )
+    )

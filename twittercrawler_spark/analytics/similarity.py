@@ -275,3 +275,162 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     buckets = _srp_buckets(spark, sf, ND_TABLES)
     return _srp_verified_pairs(spark, sf, buckets, ND_COSINE_T)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-probing alternative to sign-LSH. A
+# coarse quantizer of C = ceil(sqrt(n)) centroids partitions the corpus into
+# cells; a query scores only the vectors in its NPROBE nearest cells. The
+# 100 TB shape: the quantizer is MODEL STATE (C·64 ints, ~16 MB at n=10^9)
+# — deterministically hash-sampled here, exactly where a k-means|| trainer
+# would plug in without changing any dataflow — broadcast into ONE
+# Arrow-batched numpy pass that assigns every vector (no shuffle, linear);
+# the search is a broadcast equi-join of the tiny query-probe table against
+# cell-keyed assignments, so the scored pair space is nprobe·cell-size per
+# query, never n·q. Assignment arithmetic runs on the SAME JVM-quantized
+# integer vectors in both engines (int64 dots are exact; the one division
+# per score is the same IEEE op), so Spark and the DuckDB oracle pick
+# bit-identical cells; tie-breaks are (cos DESC, cid ASC) everywhere.
+IVF_NPROBE = 4
+IVF_MIN_CENTROIDS = 4
+
+#: JVM-side integer quantization — the same rounding the SRP path uses (and
+#: NOT numpy round, which is banker's): one shared source of exact ints.
+_QV_EXPR = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+
+
+def ivf_centroids(n_vectors: int) -> int:
+    """C = max(4, ceil(sqrt(n))) — cells scale with the corpus so expected
+    cell size is ~sqrt(n) and probe cost per query is ~NPROBE·sqrt(n)."""
+    return max(IVF_MIN_CENTROIDS, math.ceil(math.sqrt(max(1, n_vectors))))
+
+
+_IVF_SQL = f"""
+    WITH q AS (
+      SELECT vec_id, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) s JOIN nn
+      ON s.rn <= greatest({IVF_MIN_CENTROIDS}, CAST(ceil(sqrt(nn.n)) AS INT))),
+    cq AS (SELECT cent.cid, q.d, q.qv AS cqv FROM q JOIN cent ON q.vec_id = cent.cid),
+    norms AS (SELECT vec_id, sum(qv * qv) AS nsq FROM q GROUP BY 1),
+    score AS (
+      SELECT dt.vec_id, dt.cid,
+             dt.dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) AS cos
+      FROM (SELECT q.vec_id, cq.cid, sum(q.qv * cq.cqv) AS dot
+            FROM q JOIN cq ON q.d = cq.d GROUP BY 1, 2) dt
+      JOIN norms nv ON dt.vec_id = nv.vec_id
+      JOIN norms nc ON dt.cid = nc.vec_id),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score) s
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM score WHERE vec_id < {KNN_QUERIES}) s
+      WHERE rn <= {IVF_NPROBE}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cand AS (
+      SELECT p.query_id, asn.vec_id AS neighbor_id
+      FROM probes p JOIN assign asn ON p.cid = asn.cid
+      WHERE asn.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cos
+      FROM cand c JOIN e a ON a.vec_id = c.query_id
+                  JOIN e b ON b.vec_id = c.neighbor_id),
+    r AS (
+      SELECT query_id, neighbor_id, cos, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
+    FROM r WHERE rank <= {KNN_K}
+"""
+
+
+@q("ann_ivf", _IVF_SQL)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    quant = t(spark, sf, "embeddings").selectExpr(
+        "vec_id", f"{_QV_EXPR} AS qv"
+    )
+    n = quant.count()
+    n_cent = ivf_centroids(n)
+    # the coarse quantizer: C hash-sampled quantized vectors, ordered by cid
+    # asc so numpy's first-max argmax matches the SQL (cos DESC, cid ASC)
+    # tie-break. This collect IS the design (quantizer = broadcast model
+    # state, like classifier weights) — C·64 ints, never corpus-sized.
+    cent_rows = sorted(
+        quant.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_cent)
+        .select("vec_id", "qv")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+
+    out_schema = "vec_id long, cid long"
+
+    def make_assigner(top_r: int):
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qm = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+                dots = qm @ cmat.T  # exact int64 matmul
+                vnorm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+                cos = dots.astype(np.float64) / (vnorm[:, None] * cnorm[None, :])
+                if top_r == 1:
+                    pick = np.argmax(cos, axis=1)[:, None]  # first max = cid asc
+                else:
+                    # stable sort on -cos keeps cid-asc order for exact ties
+                    pick = np.argsort(-cos, axis=1, kind="stable")[:, :top_r]
+                vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(vec_ids, pick.shape[1]),
+                        "cid": cids[pick].ravel(),
+                    }
+                )
+
+        return assign
+
+    assign_df = quant.mapInPandas(make_assigner(1), out_schema)
+    probes = (
+        quant.filter(F.col("vec_id") < KNN_QUERIES)
+        .mapInPandas(make_assigner(min(IVF_NPROBE, n_cent)), out_schema)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    # tiny probe table broadcasts; the corpus-side assignments never shuffle
+    cand = (
+        assign_df.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    e = _emb(spark, sf)
+    cos = _cos_cols(F.col("vq_"), F.col("vc_"))
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq_")),
+                  "query_id")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc_")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("sim"))
+    )
