@@ -76,6 +76,64 @@ def measure_extract_stage(corpus: str, cores: int, trials: int = 3) -> float:
     return best
 
 
+def measure_host_ceiling(workers: int, n_chunks: int = 256) -> float:
+    """Pure-multiprocessing throughput (chunks/s) for regex work — NO Spark,
+    no JVM: the box's own parallel capacity at this worker count, measured
+    in the SAME run as the Spark numbers so the per-stage decomposition
+    compares against a fresh ceiling, not a quoted one."""
+    import multiprocessing as mp
+
+    text = ("lorem ipsum dolor sit amet " * 2000) + "http://x.com/a?b=1 "
+    with mp.Pool(workers) as pool:
+        pool.map(_host_chunk, [text] * workers)  # warm
+        t0 = time.time()
+        pool.map(_host_chunk, [text] * n_chunks)
+        dt = time.time() - t0
+    return n_chunks / dt
+
+
+def _host_chunk(text: str) -> int:
+    import re
+
+    n = 0
+    for _ in range(20):
+        n += len(re.findall(r"[a-z]+://[^\s]+|[a-z]{4,}", text))
+    return n
+
+
+def capture_stage_timings(cores: int, wh_base: str, cfg, trials: int = 2) -> dict:
+    """Per-stage wall clock of the metered round via SPARK_GRAFT_TIMING=1
+    (frontier/crawl._StageTimer prints), min per stage across trials."""
+    import contextlib
+    import io
+    import re as _re
+
+    from twittercrawler_spark.frontier.crawl import run_round
+    from twittercrawler_spark.sources.tables import Warehouse
+
+    os.environ["SPARK_GRAFT_TIMING"] = "1"
+    stages: dict[str, float] = {}
+    try:
+        spark = _session(cores)
+        for _ in range(trials):
+            trial = tempfile.mkdtemp(prefix=f"scale_stage_{cores}_")
+            shutil.rmtree(trial)
+            shutil.copytree(wh_base, trial)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                run_round(spark, Warehouse(trial), cfg, 1)
+            shutil.rmtree(trial, ignore_errors=True)
+            for m in _re.finditer(
+                r"\[timing round 1\] ([^:]+): ([0-9.]+)s", buf.getvalue()
+            ):
+                st, sec = m.group(1), float(m.group(2))
+                stages[st] = min(stages.get(st, float("inf")), sec)
+        spark.stop()
+    finally:
+        os.environ.pop("SPARK_GRAFT_TIMING", None)
+    return stages
+
+
 def main() -> None:
     import bench
     from twittercrawler_spark.frontier.crawl import bootstrap, run_round
@@ -123,12 +181,23 @@ def main() -> None:
             fetched = f
             shutil.rmtree(trial, ignore_errors=True)
             spark.stop()
+
+    # per-stage decomposition of the spec'd 8→32 step (written to STAGES.md)
+    stages_8 = capture_stage_timings(8, wh_base, cfg)
+    stages_32 = capture_stage_timings(32, wh_base, cfg)
     shutil.rmtree(wh_base, ignore_errors=True)
 
-    # compute-path isolation at the proxy step
+    # compute-path isolation at both steps
     ex_2 = measure_extract_stage(corpus, 2)
     ex_8 = measure_extract_stage(corpus, 8)
+    ex_32 = measure_extract_stage(corpus, 32)
     ex_eff = (ex_2 / ex_8) / 4
+    ex_eff_32 = (ex_8 / ex_32) / 4
+
+    # the box's own parallel capacity at the spec'd step, fresh this run
+    host_8 = measure_host_ceiling(8)
+    host_32 = measure_host_ceiling(32)
+    host_eff_32 = (host_32 / host_8) / 4
 
     best = {c: min(times[c]) for c in LEVELS}
     thru = {c: fetched / best[c] for c in LEVELS}
@@ -142,9 +211,45 @@ def main() -> None:
         "proxy_step_2_to_8_efficiency": round(eff_proxy, 3),
         "extract_stage_sec_2": round(ex_2, 2),
         "extract_stage_sec_8": round(ex_8, 2),
+        "extract_stage_sec_32": round(ex_32, 2),
         "extract_stage_2_to_8_efficiency": round(ex_eff, 3),
+        "extract_stage_8_to_32_efficiency": round(ex_eff_32, 3),
+        "host_ceiling_8_to_32_efficiency": round(host_eff_32, 3),
+        "stages_8": {k: round(v, 2) for k, v in stages_8.items()},
+        "stages_32": {k: round(v, 2) for k, v in stages_32.items()},
         "bootstrap_sec": round(t_bootstrap, 2),
     }
+
+    # STAGES.md: the 8→32 decomposition against the same-run host ceiling
+    stage_rows = []
+    for st in stages_8:
+        t8, t32 = stages_8[st], stages_32.get(st)
+        if t32 is None:
+            continue
+        eff = (t8 / t32) / 4 if t32 > 0 else float("nan")
+        stage_rows.append((st, t8, t32, eff))
+    with open(os.path.join(REPO, "BENCH", "STAGES.md"), "w") as f_out:
+        f_out.write(
+            "# Crawl round — per-stage 8→32 decomposition (same run as "
+            "BENCH/BASELINE.md)\n\n"
+            "Measured with `SPARK_GRAFT_TIMING=1` on the scaling corpus, min of "
+            "2 trials per level; 'overlapped' stages run concurrently with the "
+            "fetch stage and do not add wall clock. The last column is the "
+            "stage's own 8→32 scaling efficiency ((t8/t32)/4); compare against "
+            f"the box's pure-multiprocessing ceiling measured in THIS run: "
+            f"**{host_eff_32:.3f}** (and the isolated scan→extract compute "
+            f"path's {ex_eff_32:.3f}). A stage at or above the ceiling is "
+            "host-capacity-bound, not engine-bound.\n\n"
+            "| stage | local[8] s | local[32] s | 8→32 efficiency |\n|---|---|---|---|\n"
+        )
+        for st, t8, t32, eff in stage_rows:
+            f_out.write(f"| {st} | {t8:.2f} | {t32:.2f} | {eff:.3f} |\n")
+        f_out.write(
+            f"\nHost pure-multiprocessing ceiling this run: {host_8:,.1f} "
+            f"chunks/s @8 → {host_32:,.1f} @32 ⇒ efficiency "
+            f"{host_eff_32:.3f}. Isolated compute path (scan → fused extract "
+            f"UDF): {ex_8:.1f} s @8 → {ex_32:.1f} s @32 ⇒ {ex_eff_32:.3f}.\n"
+        )
 
     import bench as b
 
@@ -181,9 +286,13 @@ with noisy neighbors. Its measured hardware parallel-throughput curve for
 PURE multiprocessing regex work (no Spark, no JVM) is 1→4: 0.70,
 2→8: 0.84, 4→16: 0.89, **8→32: 0.77** — i.e. the machine itself cannot
 reach 0.8 efficiency for the 8→32 step for ANY workload, before Spark's
-JVM threads (scan, Arrow, shuffle, GC) even enter. On hardware where 32
-execution slots are real (a cluster of 4× 8-core executors), the 2→8
-behavior below is the predictive number.
+JVM threads (scan, Arrow, shuffle, GC) even enter. Re-measured fresh in
+THIS run: host pure-multiprocessing 8→32 efficiency **{host_eff_32:.3f}**;
+the engine's isolated scan→extract compute path at the same step:
+**{ex_eff_32:.3f}** ({ex_8:.1f} s @8 → {ex_32:.1f} s @32). Per-stage
+decomposition of the full round at 8 vs 32 is in BENCH/STAGES.md. On
+hardware where 32 execution slots are real (a cluster of 4× 8-core
+executors), the 2→8 behavior below is the predictive number.
 
 ## Hardware-honest proxy step: local[2] → local[8]
 

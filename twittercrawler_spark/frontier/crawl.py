@@ -311,15 +311,12 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # under GC at high parallelism. fetch_log keeps the scan-local layout
         # (no text shuffle); crawl order is the seq COLUMN, never file order
         # (SURVEY.md §7.4).
-        wh.write(
-            "fetch_log",
-            fetched.select(
-                "seq", "url", "host", "host_bucket", "status", "text", "lang",
-                "priority", "links",
-            ),
-            rnd,
+        fetch_out = fetched.select(
+            "seq", "url", "host", "host_bucket", "status", "text", "lang",
+            "priority", "links",
         )
-        fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd)
+        wh.write("fetch_log", fetch_out, rnd)
+        fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd, fetch_out.schema)
         tm.lap("fetch+extract+write")
 
         # expand: out-links → canonicalize vs base → max child priority per url
@@ -358,7 +355,9 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
         wh.write("frontier", frontier_next, rnd)
         tm.lap("expand+frontier_write")
-        frontier_written = wh.read_uncommitted(spark, "frontier", rnd)
+        frontier_written = wh.read_uncommitted(
+            spark, "frontier", rnd, frontier_next.schema
+        )
 
         # per-partition lineage metrics (north rule): per-host_bucket counts at
         # each stage of this round, in ONE fused job that scans each input once:

@@ -95,13 +95,21 @@ class Warehouse:
             spark.read.option("basePath", os.path.join(self.root, name)).parquet(*paths)
         )
 
-    def read_uncommitted(self, spark: SparkSession, name: str, rnd: int) -> DataFrame:
+    def read_uncommitted(
+        self, spark: SparkSession, name: str, rnd: int, schema=None
+    ) -> DataFrame:
         """Read a round's data BEFORE its commit — for in-round dataflow that
         uses the just-written durable table as its materialization point
-        (cheaper and GC-safer than caching wide rows on-heap)."""
-        return spark.read.option(
-            "basePath", os.path.join(self.root, name)
-        ).parquet(self._round_dir(name, rnd))
+        (cheaper and GC-safer than caching wide rows on-heap).
+
+        The in-round caller just WROTE the table and still holds its
+        DataFrame, so it passes that ``schema`` — skipping the driver-side
+        footer-read schema inference on the shared disk (part of the fixed
+        per-round floor the scaling evidence tracks)."""
+        reader = spark.read.option("basePath", os.path.join(self.root, name))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._round_dir(name, rnd))
 
     def read_round(self, spark: SparkSession, name: str, rnd: int) -> DataFrame | None:
         """One committed round of a snapshot-style table."""
