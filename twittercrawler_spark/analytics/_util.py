@@ -34,16 +34,44 @@ def t_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per-document expressions on ONE core. At production scale tables have
     many files/row groups and this is a no-op (no shuffle added).
 
-    The under-split decision reads the scan's FILE LIST (a metadata lookup
-    — byte-range splits of one single-row-group file are empty anyway),
-    not ``df.rdd.getNumPartitions()``: converting to an RDD materializes a
-    plan translation per query construction for a number the file listing
-    already gives us."""
+    The under-split decision estimates the scan's split count from the
+    file list and file SIZES (metadata lookups — the same
+    ``maxPartitionBytes`` arithmetic Spark's own planner uses), not
+    ``df.rdd.getNumPartitions()``: converting to an RDD materializes a plan
+    translation per query construction for a number the listing already
+    gives us. Counting files alone would force a needless full-table
+    shuffle on a single LARGE multi-row-group file that the scan can
+    already split by byte range."""
+    import os
+    from urllib.parse import urlparse
+
     df = t(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        df = df.repartition(target)
-    return df
+    max_bytes = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    est_splits = 0
+    for f in df.inputFiles():
+        path = urlparse(f).path
+        try:
+            size = os.path.getsize(path)
+            splits = max(1, -(-size // max_bytes))
+            if splits > 1:
+                # byte ranges cannot split below row-group granularity, so a
+                # big single-row-group file still yields ONE real partition —
+                # cap the estimate by the footer's row-group count
+                try:
+                    import pyarrow.parquet as pq
+
+                    splits = min(splits, max(1, pq.ParquetFile(path).num_row_groups))
+                except Exception:
+                    pass
+        except OSError:  # non-local FS: fall back to one split per file
+            splits = 1
+        est_splits += splits
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def dec(col: str | F.Column, prec: str = "decimal(12,2)") -> F.Column:

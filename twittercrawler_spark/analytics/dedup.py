@@ -168,6 +168,50 @@ _MINHASH_CTES = f"""
 """
 
 
+def minhash_min_cols() -> list:
+    """The k universal-hash minima as aggregate COLUMNS (map-side partial
+    min, no row explosion). Shared with tools/lsh_stats so observability
+    measures the exact pipeline."""
+    return [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit((1000003 * i) % MERSENNE_P))
+            % MERSENNE_P
+        ).alias(f"m{i}")
+        for i in range(1, MINHASH_K + 1)
+    ]
+
+
+def minhash_bands(agg: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) from a frame carrying m1..mK minima columns."""
+    n_bands = MINHASH_K // MINHASH_BAND
+    band_entries = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"m{b * MINHASH_BAND + j + 1}").cast("string")
+                    for j in range(MINHASH_BAND)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return agg.select(
+        "doc_id", F.explode(F.array(*band_entries)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def distinct_bucket_pairs(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Distinct (x, y) id pairs sharing all ``keys`` — THE LSH candidate
+    join (equi-join on the bucket key, never a cross product)."""
+    a = df.select(F.col(id_col).alias("x"), *keys)
+    b = df.select(F.col(id_col).alias("y"), *keys)
+    return (
+        a.join(b, keys).filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    )
+
+
 @q(
     "dedup_minhash_lsh",
     f"""
@@ -186,39 +230,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # map work still runs per branch — each branch computes only its pruned
     # slice, and the t_split scan keeps that fully parallel.)
     hs = _shingle_hashes(spark, sf)
-    min_cols = [
-        F.min(
-            (F.lit(2 * i + 1) * F.col("h") + F.lit((1000003 * i) % MERSENNE_P))
-            % MERSENNE_P
-        ).alias(f"m{i}")
-        for i in range(1, MINHASH_K + 1)
-    ]
-    agg = hs.groupBy("doc_id").agg(*min_cols, F.collect_set("s").alias("ss"))
-    n_bands = MINHASH_K // MINHASH_BAND
-    band_entries = [
-        F.struct(
-            F.lit(b).cast("bigint").alias("band"),
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"m{b * MINHASH_BAND + j + 1}").cast("string")
-                    for j in range(MINHASH_BAND)
-                ],
-            ).alias("sig"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = agg.select(
-        "doc_id", F.explode(F.array(*band_entries)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    ba = bands.select(F.col("doc_id").alias("x"), "band", "sig")
-    bb = bands.select(F.col("doc_id").alias("y"), "band", "sig")
-    cand = (
-        ba.join(bb, ["band", "sig"])
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-    )
+    agg = hs.groupBy("doc_id").agg(*minhash_min_cols(), F.collect_set("s").alias("ss"))
+    cand = distinct_bucket_pairs(minhash_bands(agg), ["band", "sig"])
     sets = agg.select("doc_id", "ss")
     c = F.size(F.array_intersect("ssa", "ssb")).cast("bigint")
     jac = c.cast("double") / (
@@ -335,6 +348,61 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
 # 32-bit halves (f_lo = bits 0..31, f_hi = bits 32..63) so every value
 # stays a non-negative BIGINT in both engines (no 64-bit sign-bit
 # divergence); hamming = popcount(xor) summed over the halves.
+def simhash_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, f_lo, f_hi, k, chunk) — the SimHash candidate-stage frame.
+    Shared with tools/lsh_stats so observability measures the exact
+    pipeline, not a re-derivation that can drift."""
+    d = t_split(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .distinct()
+    )
+    th = tok.select(
+        "doc_id",
+        base_hash32(F.col("tk")).alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("tk")), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+    )
+    # fused bit-vote: all 64 per-bit sums as aggregate COLUMNS in one groupBy
+    # (map-side partial sums, no row explosion) — the same k-columns trick as
+    # the MinHash minima above; values identical to the oracle's per-j sums
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h_lo >> {j}) & 1" if j < 32 else f"(h_hi >> {j - 32}) & 1") == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    def _half(lo: int) -> F.Column:
+        e = F.lit(0).cast("bigint")
+        for j in range(lo, lo + 32):
+            e = e + F.when(
+                F.col(f"s{j}") > 0, F.lit(1 << (j - lo)).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return e.cast("bigint")
+
+    fp = th.groupBy("doc_id").agg(*bit_sums).select(
+        "doc_id", _half(0).alias("f_lo"), _half(32).alias("f_hi")
+    )
+    # 4 chunk rows per doc via a literal-array explode (pure projection —
+    # no join node at all for the constant chunk-index dimension)
+    return fp.select(
+        "doc_id",
+        "f_lo",
+        "f_hi",
+        F.explode(F.array(*[F.lit(k).cast("int") for k in range(4)])).alias("k"),
+    ).select(
+        "doc_id",
+        "f_lo",
+        "f_hi",
+        "k",
+        F.expr(
+            "(CASE WHEN k < 2 THEN shiftright(f_lo, k * 16) "
+            "ELSE shiftright(f_hi, (k - 2) * 16) END) & 65535"
+        ).alias("chunk"),
+    )
+
+
 @q(
     "dedup_simhash",
     f"""
@@ -378,55 +446,7 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    d = t_split(spark, sf, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
-        .filter(F.col("tk") != "")
-        .distinct()
-    )
-    th = tok.select(
-        "doc_id",
-        base_hash32(F.col("tk")).alias("h_lo"),
-        F.conv(F.substring(F.md5(F.col("tk")), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
-    )
-    # fused bit-vote: all 64 per-bit sums as aggregate COLUMNS in one groupBy
-    # (map-side partial sums, no row explosion) — the same k-columns trick as
-    # the MinHash minima above; values identical to the oracle's per-j sums
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h_lo >> {j}) & 1" if j < 32 else f"(h_hi >> {j - 32}) & 1") == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(64)
-    ]
-    def _half(lo: int) -> F.Column:
-        e = F.lit(0).cast("bigint")
-        for j in range(lo, lo + 32):
-            e = e + F.when(
-                F.col(f"s{j}") > 0, F.lit(1 << (j - lo)).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        return e.cast("bigint")
-
-    fp = th.groupBy("doc_id").agg(*bit_sums).select(
-        "doc_id", _half(0).alias("f_lo"), _half(32).alias("f_hi")
-    )
-    # 4 chunk rows per doc via a literal-array explode (pure projection —
-    # no join node at all for the constant chunk-index dimension)
-    ch = fp.select(
-        "doc_id",
-        "f_lo",
-        "f_hi",
-        F.explode(F.array(*[F.lit(k).cast("int") for k in range(4)])).alias("k"),
-    ).select(
-        "doc_id",
-        "f_lo",
-        "f_hi",
-        "k",
-        F.expr(
-            "(CASE WHEN k < 2 THEN shiftright(f_lo, k * 16) "
-            "ELSE shiftright(f_hi, (k - 2) * 16) END) & 65535"
-        ).alias("chunk"),
-    )
+    ch = simhash_chunks(spark, sf)
     ca = ch.select(
         F.col("doc_id").alias("x"), F.col("f_lo").alias("fxl"),
         F.col("f_hi").alias("fxh"), "k", "chunk",

@@ -64,6 +64,18 @@ _SRP_PLANES_SQL = (
 )
 
 
+#: one corpus-count job per sf_dir per process — srp/ivf sizing needs only
+#: this scalar, and constructing several sized queries (or plan-only tests)
+#: should not re-count the same static table
+_N_VECTORS: dict[str, int] = {}
+
+
+def _n_vectors(spark: SparkSession, sf: str) -> int:
+    if sf not in _N_VECTORS:
+        _N_VECTORS[sf] = t(spark, sf, "embeddings").count()
+    return _N_VECTORS[sf]
+
+
 def _sign_of(salt: str) -> int:
     """±1 from the shared 32-bit md5 base hash — the Python twin of the
     oracle's CASE WHEN CAST('0x'||substr(md5(salt),1,8) AS BIGINT)%2."""
@@ -172,7 +184,7 @@ def _srp_buckets(spark: SparkSession, sf: str, n_tables: int) -> DataFrame:
     broadcast join + two map-side-combinable groupBys — all codegen, no
     Python crossing, shuffle keyed on vec_id (linear in corpus size)."""
     emb = t(spark, sf, "embeddings")
-    n_planes = srp_planes(emb.count())
+    n_planes = srp_planes(_n_vectors(spark, sf))
     planes = F.broadcast(
         spark.createDataFrame(
             [
@@ -363,8 +375,7 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     quant = t(spark, sf, "embeddings").selectExpr(
         "vec_id", f"{_QV_EXPR} AS qv"
     )
-    n = quant.count()
-    n_cent = ivf_centroids(n)
+    n_cent = ivf_centroids(_n_vectors(spark, sf))
     # the coarse quantizer: C hash-sampled quantized vectors, ordered by cid
     # asc so numpy's first-max argmax matches the SQL (cos DESC, cid ASC)
     # tie-break. This collect IS the design (quantizer = broadcast model

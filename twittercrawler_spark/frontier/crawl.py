@@ -339,6 +339,12 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # per-bucket Bloom TABLE maintained incrementally below — never built by
         # collecting hashes to the driver.
         links = links.join(selected.select("url"), "url", "left_anti")
+        # filter_unseen consumes its candidates TWICE (a pruned projection
+        # through the Arrow probe, then the full rows in the semi-join back);
+        # checkpoint the link-expansion pipeline so the explode + canonicalize
+        # UDF + groupBy run once, not per consumer. Narrow rows — safe to hold,
+        # unlike the wide fetched rows (see the fetch_log comment above).
+        links = links.localCheckpoint(eager=False)
         links = filter_unseen(spark, links, seen_prior, sidecar_prev)
         remaining = gated.join(selected.select("url"), "url", "left_anti")
         links = links.join(remaining.select("url"), "url", "left_anti")
@@ -420,8 +426,12 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         tm.lap("join_seen_sidecar")
     except BaseException as e:
         seen_fut.cancel()  # no-op once started; prevents a not-yet-started run
-        _fut_wait([seen_fut])
-        if not seen_fut.cancelled() and seen_fut.exception() is not None:
+        # bounded join: a WEDGED sidecar write must not suppress the round's
+        # real error forever (the whole point of this handler)
+        _, not_done = _fut_wait([seen_fut], timeout=60)
+        if not_done:
+            e.add_note("overlapped seen+sidecar thread did not join within 60s")
+        elif not seen_fut.cancelled() and seen_fut.exception() is not None:
             e.add_note(
                 f"overlapped seen+sidecar thread also failed: {seen_fut.exception()!r}"
             )
