@@ -43,6 +43,8 @@ SUBSET = [
     "multimodal_framesample",
     "ann_ivf",
     "curation_pipeline",
+    "order_priority_check",
+    "priority_shipment_counts",
 ]
 
 
