@@ -171,3 +171,39 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
         for so in p["stateOperators"]
     )
     assert dropped >= 1, [p["stateOperators"] for p in q.recentProgress]
+
+
+def test_stream_dedup_exact_one_survivor_per_hash(spark, tmp_path):
+    """Streaming dedup keeps exactly one survivor per distinct content hash
+    across micro-batches (duplicates split across files so state must carry
+    between batches), each survivor a member of its hash group."""
+    from twittercrawler_spark.streaming.windows import stream_dedup_exact
+
+    rows_by_file = [
+        [(1, "alpha text"), (2, "beta text")],
+        [(3, "alpha text"), (4, "gamma text")],   # dup of file-0 content
+        [(5, "beta text"), (6, "alpha text")],    # dups of both earlier files
+    ]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(d / f"f{i}.parquet")
+        )
+    # file-source needs a flat dir of files; stage the parts
+    import glob
+    import shutil
+
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    for i, part in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(part, flat / f"part-{i}.parquet")
+
+    q = stream_dedup_exact(spark, str(flat), str(tmp_path / "ck_dd"), "dd_stream")
+    drain(q)
+    out = spark.table("dd_stream").collect()
+    groups = {"alpha text": {1, 3, 6}, "beta text": {2, 5}, "gamma text": {4}}
+    assert len(out) == 3  # one survivor per distinct content
+    for r in out:
+        assert r["doc_id"] in groups[r["text"]]
+    assert {r["text"] for r in out} == set(groups)

@@ -220,3 +220,40 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession, docs_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Streaming exact dedup: unbounded ``dropDuplicates`` on the content
+    hash — the streaming twin of the batch ``dedup_exact`` operator, for a
+    pipeline that dedups documents AS THEY ARRIVE instead of in passes.
+
+    Exactly-once contract (asserted by test): across all micro-batches, ONE
+    survivor per distinct content hash, each survivor a member of its hash
+    group. Which member survives is arrival order — a streaming dedup keeps
+    the first copy — so the cross-engine invariant is the survivor SET per
+    hash, not the batch twin's min-doc_id choice.
+
+    Scale: the dedup state store holds one row per DISTINCT content hash
+    (bounded by distinct content, not stream length); on a cluster it backs
+    onto the RocksDB state store and the key is the 128-bit md5 — the same
+    seen-set shape as the crawl frontier, expressed as a built-in stateful
+    operator instead of a custom one.
+    """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .withColumn("hh", F.md5("text"))
+        .dropDuplicates(["hh"])
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
