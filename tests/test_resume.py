@@ -63,3 +63,46 @@ def test_uncommitted_round_is_invisible_and_rerun(spark, corpus_dir, tmp_path):
     wh_resumed = run_crawl(spark, wh_dir, *paths, CFG)
     wh_clean = run_crawl(spark, str(tmp_path / "clean"), *paths, CFG)
     assert _final_state(spark, wh_resumed) == _final_state(spark, wh_clean)
+
+
+def test_main_path_failure_joins_sidecar_thread_and_aborts_round(
+    spark, corpus_dir, tmp_path
+):
+    """A failure on the round's main path must propagate promptly (bounded
+    join of the overlapped seen+sidecar thread), and the failed round must
+    stay INVISIBLE — resume re-runs it cleanly (atomic commit contract)."""
+    import time as _time
+
+    import pytest
+
+    from twittercrawler_spark.frontier import crawl as crawl_mod
+    from twittercrawler_spark.frontier.crawl import run_crawl, run_round
+    from twittercrawler_spark.frontier.simulator import CrawlConfig
+    from twittercrawler_spark.sources.tables import Warehouse
+
+    cfg = CrawlConfig(per_host_per_round=2, rounds=1, num_buckets=8)
+    paths = [f"{corpus_dir}/{n}.parquet" for n in ("pages", "seeds", "robots")]
+    wh = run_crawl(spark, str(tmp_path / "wh"), *paths, cfg)
+    assert wh.last_round() == 1
+
+    orig_write = Warehouse.write
+
+    def failing_write(self, name, df, rnd):
+        if name == "fetch_log":
+            raise RuntimeError("injected fetch_log failure")
+        return orig_write(self, name, df, rnd)
+
+    Warehouse.write = failing_write
+    try:
+        t0 = _time.time()
+        with pytest.raises(RuntimeError, match="injected fetch_log failure"):
+            run_round(spark, wh, cfg, 2)
+        assert _time.time() - t0 < 120, "failure path must not hang on the thread"
+    finally:
+        Warehouse.write = orig_write
+    assert wh.last_round() == 1  # round 2 never became visible
+
+    # exact resume: the crashed round re-runs from committed state
+    cfg2 = CrawlConfig(per_host_per_round=2, rounds=2, num_buckets=8)
+    wh2 = run_crawl(spark, str(tmp_path / "wh"), *paths, cfg2)
+    assert wh2.last_round() == 2
