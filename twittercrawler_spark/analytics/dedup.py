@@ -344,24 +344,24 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
 # values = 262,144 equi-join keys (vs 4×256 for a 32-bit/8-bit-chunk
 # fingerprint) — at n documents the expected per-key population is n/2^16,
 # so the candidate pair space stays ~n²/2^16 per chunk position and the
-# shuffle has 2^18-way key parallelism. The fingerprint is carried as two
-# 32-bit halves (f_lo = bits 0..31, f_hi = bits 32..63) so every value
-# stays a non-negative BIGINT in both engines (no 64-bit sign-bit
-# divergence); hamming = popcount(xor) summed over the halves.
+# shuffle has 2^18-way key parallelism. The fingerprint votes over the SAME
+# distinct 3-gram shingles MinHash uses, not unigram tokens: unigram votes
+# on a shared-vocabulary corpus collapse toward one fingerprint cluster
+# (measured 15.7% of all pairs as candidates at sf0.1; shingles cut that
+# ~50×) — feature entropy, not just key-space size, bounds candidate mass.
+# The fingerprint is carried as two 32-bit halves (f_lo = bits 0..31,
+# f_hi = bits 32..63) so every value stays a non-negative BIGINT in both
+# engines (no 64-bit sign-bit divergence); hamming = popcount(xor) summed
+# over the halves.
 def simhash_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, f_lo, f_hi, k, chunk) — the SimHash candidate-stage frame.
     Shared with tools/lsh_stats so observability measures the exact
     pipeline, not a re-derivation that can drift."""
-    d = t_split(spark, sf, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
-        .filter(F.col("tk") != "")
-        .distinct()
-    )
-    th = tok.select(
+    sh = _shingle_hashes(spark, sf)  # the same 3-gram features MinHash uses
+    th = sh.select(
         "doc_id",
-        base_hash32(F.col("tk")).alias("h_lo"),
-        F.conv(F.substring(F.md5(F.col("tk")), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.col("h").alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("s")), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
     )
     # fused bit-vote: all 64 per-bit sums as aggregate COLUMNS in one groupBy
     # (map-side partial sums, no row explosion) — the same k-columns trick as
@@ -406,15 +406,11 @@ def simhash_chunks(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "dedup_simhash",
     f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, tk FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
-        FROM documents) u
-      WHERE tk <> ''),
+    WITH sh AS ({SHINGLES_SQL}),
     th AS (SELECT doc_id,
-                  CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h_lo,
-                  CAST('0x' || substr(md5(tk), 9, 8) AS BIGINT) AS h_hi
-           FROM tok),
+                  CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h_lo,
+                  CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h_hi
+           FROM sh),
     bits AS (
       SELECT doc_id, j,
              sum(CASE WHEN (CASE WHEN j < 32 THEN h_lo >> j
