@@ -27,6 +27,8 @@ SUBSET = [
     "connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "knn_bruteforce",
     "lang_id_heuristic",

@@ -76,3 +76,43 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(hits) / len(knn) >= 0.15
     for pair in hits:
         assert ivf[pair] == knn[pair], pair
+
+
+def test_shingle_dedup_catches_short_documents(spark, tmp_path):
+    """Docs with < 3 tokens get their whole normalized text as the single
+    shingle feature (both engines), so identical tweet-length docs are
+    caught by the shingle-based dedup family — without the fallback they
+    had NO features and could never pair."""
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (2, "hello world", "en", "s", 11),   # identical 2-token doc
+        (3, "hello", "en", "s", 5),          # identical 1-token doc
+        (4, "hello", "en", "s", 5),
+        (5, "totally different", "en", "s", 17),
+        (6, " ", "en", "s", 1),              # whitespace-only: no feature
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.parquet(path)
+
+    got = {
+        (r["x"], r["y"])
+        for r in ALL_QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
+    }
+    assert {(1, 2), (3, 4)} <= got
+    sim = {
+        (r["x"], r["y"])
+        for r in ALL_QUERIES["dedup_simhash"](spark, str(tmp_path)).collect()
+    }
+    assert {(1, 2), (3, 4)} <= sim
+
+    # oracle parity on the same dirty input
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {(r[0], r[1]) for r in con.execute(ALL_ORACLES["dedup_minhash_lsh"]).fetchall()}
+    assert got == want
+    want_sim = {(r[0], r[1]) for r in con.execute(ALL_ORACLES["dedup_simhash"]).fetchall()}
+    assert sim == want_sim

@@ -75,7 +75,6 @@ def test_main_path_failure_joins_sidecar_thread_and_aborts_round(
 
     import pytest
 
-    from twittercrawler_spark.frontier import crawl as crawl_mod
     from twittercrawler_spark.frontier.crawl import run_crawl, run_round
     from twittercrawler_spark.frontier.simulator import CrawlConfig
     from twittercrawler_spark.sources.tables import Warehouse

@@ -109,7 +109,11 @@ def word_shingles(text_col: F.Column, n: int = 3, distinct: bool = True) -> F.Co
     insensitive, e.g. a min aggregate, to skip the dedup pass).
 
     1-based ``element_at`` indexing mirrors the oracle's 1-based list
-    subscripts exactly. Guarded so texts with < n tokens yield [].
+    subscripts exactly. A nonempty text with FEWER than n tokens yields its
+    whitespace-normalized whole text as the single feature — without that
+    fallback, short documents (tweet-like) would have NO features, so
+    identical short docs could never be flagged by any shingle-based dedup.
+    Twin: the fallback branch in SHINGLES_SQL.
     """
     w = F.split(F.lower(text_col), r"\s+")
     idx = F.when(
@@ -121,14 +125,27 @@ def word_shingles(text_col: F.Column, n: int = 3, distinct: bool = True) -> F.Co
             " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
         ),
     )
+    whole = F.concat_ws(" ", w)
+    gram = F.when(F.size(w) >= n, gram).otherwise(
+        F.when(F.length(whole) > 0, F.array(whole)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
     return F.array_distinct(gram) if distinct else gram
 
 
 # DuckDB twin of word_shingles (as a CTE body over documents): produces
 # (doc_id, s) DISTINCT rows. len(w)>=3 guard via greatest().
 SHINGLES_SQL = """
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-        FROM documents) d,
-       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents) d,
+         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS s
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents) d2
+    WHERE len(w) < 3 AND length(array_to_string(w, ' ')) > 0
+  ) u
 """

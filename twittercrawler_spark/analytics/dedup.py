@@ -348,7 +348,7 @@ def decontaminate_against_eval(spark: SparkSession, sf: str) -> DataFrame:
 # distinct 3-gram shingles MinHash uses, not unigram tokens: unigram votes
 # on a shared-vocabulary corpus collapse toward one fingerprint cluster
 # (measured 15.7% of all pairs as candidates at sf0.1; shingles cut that
-# ~50×) — feature entropy, not just key-space size, bounds candidate mass.
+# ~1,800×, to 1,085 pairs — BENCH/LSH.md) — feature entropy, not just key-space size, bounds candidate mass.
 # The fingerprint is carried as two 32-bit halves (f_lo = bits 0..31,
 # f_hi = bits 32..63) so every value stays a non-negative BIGINT in both
 # engines (no 64-bit sign-bit divergence); hamming = popcount(xor) summed

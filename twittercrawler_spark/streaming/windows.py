@@ -231,9 +231,10 @@ def stream_dedup_exact(
 
     Exactly-once contract (asserted by test): across all micro-batches, ONE
     survivor per distinct content hash, each survivor a member of its hash
-    group. Which member survives is arrival order — a streaming dedup keeps
-    the first copy — so the cross-engine invariant is the survivor SET per
-    hash, not the batch twin's min-doc_id choice.
+    group. WHICH member survives is not specified: cross-batch it is the
+    earlier batch, within a micro-batch it is whichever row the partitioned
+    aggregation sees first — so the invariant is the survivor SET per hash,
+    not the batch twin's min-doc_id choice.
 
     Scale: the dedup state store holds one row per DISTINCT content hash
     (bounded by distinct content, not stream length); on a cluster it backs
