@@ -44,6 +44,7 @@ SUBSET = [
     "multimodal_meta",
     "multimodal_framesample",
     "ann_ivf",
+    "ann_ivf_refined",
     "curation_pipeline",
     "order_priority_check",
     "priority_shipment_counts",

@@ -367,61 +367,75 @@ _IVF_SQL = f"""
 """
 
 
-@q("ann_ivf", _IVF_SQL)
-def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+_IVF_OUT_SCHEMA = "vec_id long, cid long"
 
-    quant = t(spark, sf, "embeddings").selectExpr(
-        "vec_id", f"{_QV_EXPR} AS qv"
-    )
-    n_cent = ivf_centroids(_n_vectors(spark, sf))
-    # the coarse quantizer: C hash-sampled quantized vectors, ordered by cid
-    # asc so numpy's first-max argmax matches the SQL (cos DESC, cid ASC)
-    # tie-break. This collect IS the design (quantizer = broadcast model
-    # state, like classifier weights) — C·64 ints, never corpus-sized.
-    cent_rows = sorted(
+
+def _ivf_quant(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").selectExpr("vec_id", f"{_QV_EXPR} AS qv")
+
+
+def _ivf_seed_centroids(quant: DataFrame, n_cent: int) -> list:
+    """The coarse quantizer: C hash-sampled quantized vectors as
+    (cid, qv) tuples ordered by cid asc — so numpy's first-max argmax
+    matches the SQL (cos DESC, cid ASC) tie-break. This collect IS the
+    design (quantizer = broadcast model state, like classifier weights) —
+    C·64 ints, never corpus-sized."""
+    rows = (
         quant.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(n_cent)
         .select("vec_id", "qv")
-        .collect(),
-        key=lambda r: r["vec_id"],
+        .collect()
     )
-    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
+    return sorted([(r["vec_id"], list(r["qv"])) for r in rows])
+
+
+def _ivf_assigner(cent_rows: list, top_r: int):
+    """Arrow-batched integer-exact assignment against the (cid, qv)
+    quantizer: int64 matmul for dots (exact), one IEEE division per score —
+    bit-identical to the oracle's per-(vec, cid) SQL scoring."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([qv for _, qv in cent_rows], dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
 
-    out_schema = "vec_id long, cid long"
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            dots = qm @ cmat.T  # exact int64 matmul
+            vnorm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (vnorm[:, None] * cnorm[None, :])
+            if top_r == 1:
+                pick = np.argmax(cos, axis=1)[:, None]  # first max = cid asc
+            else:
+                # stable sort on -cos keeps cid-asc order for exact ties
+                pick = np.argsort(-cos, axis=1, kind="stable")[:, :top_r]
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, pick.shape[1]),
+                    "cid": cids[pick].ravel(),
+                }
+            )
 
-    def make_assigner(top_r: int):
-        def assign(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qm = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-                dots = qm @ cmat.T  # exact int64 matmul
-                vnorm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
-                cos = dots.astype(np.float64) / (vnorm[:, None] * cnorm[None, :])
-                if top_r == 1:
-                    pick = np.argmax(cos, axis=1)[:, None]  # first max = cid asc
-                else:
-                    # stable sort on -cos keeps cid-asc order for exact ties
-                    pick = np.argsort(-cos, axis=1, kind="stable")[:, :top_r]
-                vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(vec_ids, pick.shape[1]),
-                        "cid": cids[pick].ravel(),
-                    }
-                )
+    return assign
 
-        return assign
 
-    assign_df = quant.mapInPandas(make_assigner(1), out_schema)
+def _ivf_search(
+    spark: SparkSession, sf: str, quant: DataFrame, cent_rows: list
+) -> DataFrame:
+    """Assignment + nprobe cell-probing top-k against a given quantizer."""
+    assign_df = quant.mapInPandas(_ivf_assigner(cent_rows, 1), _IVF_OUT_SCHEMA)
     probes = (
         quant.filter(F.col("vec_id") < KNN_QUERIES)
-        .mapInPandas(make_assigner(min(IVF_NPROBE, n_cent)), out_schema)
+        .mapInPandas(
+            _ivf_assigner(cent_rows, min(IVF_NPROBE, len(cent_rows))),
+            _IVF_OUT_SCHEMA,
+        )
         .withColumnRenamed("vec_id", "query_id")
     )
     # tiny probe table broadcasts; the corpus-side assignments never shuffle
@@ -445,3 +459,118 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("sim"))
     )
+
+
+@q("ann_ivf", _IVF_SQL)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    quant = _ivf_quant(spark, sf)
+    n_cent = ivf_centroids(_n_vectors(spark, sf))
+    return _ivf_search(spark, sf, quant, _ivf_seed_centroids(quant, n_cent))
+
+
+# One Lloyd refinement round on top of the hash-sampled seed quantizer: new
+# centroid = per-dimension integer mean (floor(sum/count + 0.5)) of the
+# vectors assigned to the cell — the k-means train step, expressed as ONE
+# cid-keyed aggregation (linear, map-side combinable) with the refined
+# quantizer collected back as model state. All arithmetic stays
+# engine-identical: int64 sums, one double division, one floor. Cells that
+# attract no vectors drop out (standard Lloyd behavior).
+_IVF_REFINED_SQL = f"""
+    WITH q AS (
+      SELECT vec_id, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) s JOIN nn
+      ON s.rn <= greatest({IVF_MIN_CENTROIDS}, CAST(ceil(sqrt(nn.n)) AS INT))),
+    cq AS (SELECT cent.cid, q.d, q.qv AS cqv FROM q JOIN cent ON q.vec_id = cent.cid),
+    norms AS (SELECT vec_id, sum(qv * qv) AS nsq FROM q GROUP BY 1),
+    score0 AS (
+      SELECT dt.vec_id, dt.cid,
+             dt.dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) AS cos
+      FROM (SELECT q.vec_id, cq.cid, sum(q.qv * cq.cqv) AS dot
+            FROM q JOIN cq ON q.d = cq.d GROUP BY 1, 2) dt
+      JOIN norms nv ON dt.vec_id = nv.vec_id
+      JOIN norms nc ON dt.cid = nc.vec_id),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score0) s
+      WHERE rn = 1),
+    cq2 AS (
+      SELECT a.cid, q.d,
+             CAST(floor(CAST(sum(q.qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS cqv
+      FROM assign0 a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY 1, 2),
+    cnorm2 AS (SELECT cid, sum(cqv * cqv) AS nsq FROM cq2 GROUP BY 1),
+    score1 AS (
+      SELECT dt.vec_id, dt.cid,
+             dt.dot / (sqrt(nv.nsq) * sqrt(c2.nsq)) AS cos
+      FROM (SELECT q.vec_id, cq2.cid, sum(q.qv * cq2.cqv) AS dot
+            FROM q JOIN cq2 ON q.d = cq2.d GROUP BY 1, 2) dt
+      JOIN norms nv ON dt.vec_id = nv.vec_id
+      JOIN cnorm2 c2 ON dt.cid = c2.cid),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score1) s
+      WHERE rn = 1),
+    probes1 AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM score1 WHERE vec_id < {KNN_QUERIES}) s
+      WHERE rn <= {IVF_NPROBE}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    cand AS (
+      SELECT p.query_id, asn.vec_id AS neighbor_id
+      FROM probes1 p JOIN assign1 asn ON p.cid = asn.cid
+      WHERE asn.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cos
+      FROM cand c JOIN e a ON a.vec_id = c.query_id
+                  JOIN e b ON b.vec_id = c.neighbor_id),
+    r AS (
+      SELECT query_id, neighbor_id, cos, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
+    FROM r WHERE rank <= {KNN_K}
+"""
+
+
+@q("ann_ivf_refined", _IVF_REFINED_SQL)
+def ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
+    quant = _ivf_quant(spark, sf)
+    n_cent = ivf_centroids(_n_vectors(spark, sf))
+    seed = _ivf_seed_centroids(quant, n_cent)
+    assign0 = quant.mapInPandas(_ivf_assigner(seed, 1), _IVF_OUT_SCHEMA)
+    # the train step: per-cell integer means as 64 aggregate COLUMNS in one
+    # cid-keyed groupBy (map-side partial sums), floored JVM-side with the
+    # exact arithmetic the oracle uses
+    sums = assign0.join(quant, "vec_id").groupBy("cid").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+            for d in range(64)
+        ],
+    )
+    refined_rows = sums.select(
+        "cid",
+        F.array(
+            *[
+                F.floor(
+                    F.col(f"s{d}").cast("double") / F.col("cnt").cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+                for d in range(64)
+            ]
+        ).alias("qv"),
+    ).collect()
+    refined = sorted((int(r["cid"]), list(r["qv"])) for r in refined_rows)
+    return _ivf_search(spark, sf, quant, refined)

@@ -1351,3 +1351,71 @@ def priority_shipment_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum-cost supplier per part (TPC-H Q2 shape, supply costs derived from
+# lineitem since the driver schema has no partsupp). Scale shape: cost is a
+# (partkey, suppkey)-keyed aggregation (linear); the region dim chain is
+# broadcast; the per-part argmin is a window over a total order — supplier
+# is SF-scaled so its join side is AQE-decided, never force-broadcast.
+@q(
+    "min_cost_supplier_per_part",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS c
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pc AS (
+      SELECT p.p_partkey, p.p_type, e.s_name, e.s_acctbal, e.n_name, c.c,
+             row_number() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY c.c, e.s_name, e.s_suppkey) AS rn
+      FROM part p
+      JOIN cost c ON c.l_partkey = p.p_partkey
+      JOIN eu e ON e.s_suppkey = c.l_suppkey
+      WHERE p.p_size >= 30)
+    SELECT p_partkey, p_type, s_name AS cheapest_supplier,
+           n_name AS supplier_nation, round(c, 6) AS min_cost,
+           round(s_acctbal, 2) AS supplier_acctbal
+    FROM pc WHERE rn = 1
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("c"))
+    )
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf, "part").filter(F.col("p_size") >= 30)
+    pc = (
+        p.join(cost, cost["l_partkey"] == p["p_partkey"])
+        .join(eu, eu["s_suppkey"] == F.col("l_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("c", "s_name", "s_suppkey")
+    return (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_type",
+            F.col("s_name").alias("cheapest_supplier"),
+            F.col("n_name").alias("supplier_nation"),
+            F.round("c", 6).alias("min_cost"),
+            F.round("s_acctbal", 2).alias("supplier_acctbal"),
+        )
+    )
