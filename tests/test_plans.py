@@ -143,3 +143,32 @@ def test_sf_scaled_tables_carry_no_broadcast_hint(spark):
 def test_knn_broadcasts_queries(spark):
     plan = plan_of(spark, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_pushdown(spark):
+    """The language gate must reach every documents scan (pushdown), and
+    the token-feature aggregation must map-side combine."""
+    plan = plan_of(spark, "curation_pipeline")
+    scans = plan.split("PushedFilters")[1:]
+    lang_pushed = [s.split("]")[0] for s in scans if "lang" in s.split("]")[0]]
+    assert lang_pushed, "lang = en must be pushed to the parquet scan"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_family_no_cartesian_and_broadcast_probe(spark):
+    """Both IVF variants: probe table broadcasts against cell-keyed
+    assignments; never a cross product."""
+    for name in ("ann_ivf", "ann_ivf_refined"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_min_cost_supplier_pushdown(spark):
+    """p_size filter pushed; per-part argmin is a window, not a self-join."""
+    plan = plan_of(spark, "min_cost_supplier_per_part")
+    pushed = [s.split("]")[0] for s in plan.split("PushedFilters")[1:]]
+    assert any("p_size" in p for p in pushed)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -83,3 +83,48 @@ def test_rt_handle_reference_semantics():
     assert rt_handle("RT @alice: hello") == "alice"
     assert rt_handle("no handle here") is None
     assert rt_handle("x @bob: y @carol: z") == "bob"
+
+
+def test_word_shingles_cross_engine_nasty_texts(spark):
+    """The shingle layer (word_shingles vs SHINGLES_SQL) must agree on
+    hostile inputs: repeated/mixed whitespace, leading/trailing space,
+    short texts (whole-text fallback), unicode letters, NBSP (NOT a
+    separator in either engine's ASCII \\s), punctuation glued to words."""
+    import duckdb
+
+    from twittercrawler_spark.analytics import _util
+    from twittercrawler_spark.analytics._util import word_shingles
+
+    texts = [
+        "a b c d",
+        "a  b\tc\nd",          # runs of mixed whitespace
+        "  leading and trailing  ",
+        "one two",              # 2 tokens -> whole-text fallback
+        "one",                  # 1 token -> fallback
+        "",                     # empty -> no features
+        "   ",                  # whitespace-only -> no features
+        "Upper CASE Text here",
+        "héllo wörld détte quatre",
+        "nb sp is one token here",  # NBSP not a separator
+        "a, b. c! d?",
+        "中文 字 测试 吗",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import pyspark.sql.functions as F
+
+    got = {
+        (r["doc_id"], r["s"])
+        for r in df.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = set(map(tuple, con.execute(_util.SHINGLES_SQL).fetchall()))
+    assert got == want
+    # fallback sanity: short nonempty docs have exactly one feature
+    assert ("one two" in texts) and sum(1 for d, _ in got if d == 3) == 1
+    assert sum(1 for d, _ in got if d == 4) == 1
+    assert sum(1 for d, _ in got if d in (5, 6)) == 0

@@ -126,8 +126,10 @@ def word_shingles(text_col: F.Column, n: int = 3, distinct: bool = True) -> F.Co
         ),
     )
     whole = F.concat_ws(" ", w)
+    # trim-gate: whitespace-only texts yield NO feature (split keeps empty
+    # tokens in both engines, so `whole` can be spaces without it)
     gram = F.when(F.size(w) >= n, gram).otherwise(
-        F.when(F.length(whole) > 0, F.array(whole)).otherwise(
+        F.when(F.length(F.trim(whole)) > 0, F.array(whole)).otherwise(
             F.array().cast("array<string>")
         )
     )
@@ -146,6 +148,6 @@ SHINGLES_SQL = """
     SELECT doc_id, array_to_string(w, ' ') AS s
     FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
           FROM documents) d2
-    WHERE len(w) < 3 AND length(array_to_string(w, ' ')) > 0
+    WHERE len(w) < 3 AND length(trim(array_to_string(w, ' '))) > 0
   ) u
 """
