@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "curation_pipeline",
+    "pack_token_shards",
     "lang_id_heuristic",
     "text_classify_scores",
     "token_stats",

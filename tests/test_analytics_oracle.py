@@ -46,6 +46,7 @@ SUBSET = [
     "ann_ivf",
     "ann_ivf_refined",
     "curation_pipeline",
+    "pack_token_shards",
     "order_priority_check",
     "priority_shipment_counts",
 ]

@@ -136,3 +136,79 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality_kept"),
         )
     )
+
+
+#: tokens per shard for pack_token_shards (a pretraining shard budget)
+PACK_BUDGET = 2048
+
+
+@q(
+    "pack_token_shards",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_at
+      FROM tok)
+    SELECT doc_id, n_tokens,
+           CAST(floor(start_at / {PACK_BUDGET}.0) AS BIGINT) AS shard_id
+    FROM packed
+    """,
+)
+def pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budgeted shard assignment — the pretraining packing step: docs
+    are laid out in doc_id order and a document belongs to the shard where
+    its running token offset starts (contiguous packing, deterministic).
+
+    Scale shape: the running sum is TWO-LEVEL, the same decomposition the
+    crawl scheduler uses for fetch-sequence offsets — an intra-group window
+    partitioned by contiguous doc_id ranges, plus a running sum over the
+    one-row-per-group totals table — so no row-scale data ever funnels
+    through a single-partition window even at 10^10 documents. The oracle
+    expresses the same number as one flat window, which is the semantic
+    definition; the two-level form is the distributed evaluation of it.
+    """
+    group_span = 65536  # contiguous doc_id range per level-1 group
+    tok = t_split(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    g = F.floor(F.col("doc_id") / group_span).alias("_g")
+    tok = tok.withColumn("_g", g)
+    from pyspark.sql import Window
+
+    wi = (
+        Window.partitionBy("_g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = tok.withColumn("_ibase", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
+    wg = (
+        Window.partitionBy(F.coalesce(F.length(F.col("_g").cast("string")), F.lit(0)) * 0)
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gbase = (
+        tok.groupBy("_g")
+        .agg(F.sum("n_tokens").alias("_gtot"))
+        .withColumn("_gbase", F.coalesce(F.sum("_gtot").over(wg), F.lit(0)))
+        .select("_g", "_gbase")
+    )
+    return (
+        intra.join(F.broadcast(gbase), "_g")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("_gbase") + F.col("_ibase")) / float(PACK_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
