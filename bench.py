@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_ivf",
     "curation_pipeline",
     "pack_token_shards",
+    "repetition_filter",
+    "dedup_lines_c4",
     "lang_id_heuristic",
     "text_classify_scores",
     "token_stats",

@@ -47,6 +47,8 @@ SUBSET = [
     "ann_ivf_refined",
     "curation_pipeline",
     "pack_token_shards",
+    "repetition_filter",
+    "dedup_lines_c4",
     "order_priority_check",
     "priority_shipment_counts",
 ]

@@ -138,6 +138,193 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: span width (tokens) for the C4-style duplicate-span pass and the Gopher
+#: repetition signals. The synthetic corpus has no newlines, so "line" is a
+#: fixed-width token span — the operator shape (corpus-global span dedup,
+#: within-doc repetition ratios) is exactly the published filters'.
+SPAN_W = 8
+
+#: Gopher-style repetition gates (published thresholds: top-2-gram fraction
+#: 0.20, duplicate-line fraction 0.30)
+REP_MAX_TOP_BIGRAM = 0.2
+REP_MAX_DUP_SPAN = 0.3
+
+
+def _tokens_col():
+    """Non-empty lowercase whitespace tokens as an array column ``tk``."""
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("tk")
+
+
+def _spans_expr():
+    """SPAN_W-token spans of ``tk``, 1-based slice (clamped partial tail).
+
+    Guarded: Spark's sequence(0, -1) DESCENDS, so an empty token array must
+    short-circuit to an empty span array instead.
+    """
+    e = F.expr(
+        f"transform(sequence(0, cast(ceil(size(tk)/{SPAN_W}.0) as int) - 1),"
+        f" i -> array_join(slice(tk, i*{SPAN_W}+1, {SPAN_W}), ' '))"
+    )
+    return F.when(F.size("tk") > 0, e).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+@q(
+    "repetition_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM tok),
+    bg AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+      FROM base, unnest(generate_series(1, CAST(len(tk) AS BIGINT) - 1)) AS u(i)),
+    bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1),
+    ch AS (
+      SELECT doc_id, array_to_string(tk[i*{SPAN_W}+1 : i*{SPAN_W}+{SPAN_W}], ' ') AS span
+      FROM base,
+           unnest(generate_series(0, CAST(ceil(len(tk)/{SPAN_W}.0) AS BIGINT) - 1)) AS u(i)),
+    cstat AS (
+      SELECT doc_id, count(*) AS nc, count(DISTINCT span) AS nd FROM ch GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           round(coalesce(CAST(s.mx AS DOUBLE) / s.tot, 0), 6) AS top_bigram_frac,
+           round(1 - CAST(c.nd AS DOUBLE) / c.nc, 6) AS dup_span_frac,
+           (coalesce(CAST(s.mx AS DOUBLE) / s.tot, 0) <= {REP_MAX_TOP_BIGRAM}
+            AND 1 - CAST(c.nd AS DOUBLE) / c.nc <= {REP_MAX_DUP_SPAN}) AS keep
+    FROM base b
+    LEFT JOIN bstat s USING (doc_id)
+    JOIN cstat c USING (doc_id)
+    """,
+)
+def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition gate: fraction of all bigram
+    occurrences taken by the most frequent bigram, and the fraction of
+    SPAN_W-token spans that are within-doc duplicates; a doc keeps iff both
+    are under the published thresholds.
+
+    Scale shape: two doc_id-keyed aggregations over token/span explodes —
+    strictly linear, shuffles only on doc_id (and the per-doc bigram key,
+    which is doc_id-prefixed so never skewed beyond one document's size).
+    No per-row Python; the mode-of-bigrams is the two-level
+    groupBy(doc,bigram) → groupBy(doc) max, not an in-row UDF.
+
+    Graft provenance: generalizes the reference's per-text cleanup gate
+    (pages/Preprocess_scripts/PreprocessDump.py:84-89) to the corpus
+    repetition filters a webtext pipeline runs before training.
+    """
+    base = t_split(spark, sf, "documents").select("doc_id", _tokens_col())
+    base = base.withColumn("n_tokens", F.size("tk").cast("bigint"))
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1),"
+            " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bstat = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    cstat = (
+        base.select("doc_id", F.explode(_spans_expr()).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nc"), F.countDistinct("span").alias("nd"))
+    )
+    top_frac = F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0))
+    dup_frac = F.lit(1.0) - F.col("nd").cast("double") / F.col("nc")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(bstat, "doc_id", "left")
+        .join(cstat, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.round(dup_frac, 6).alias("dup_span_frac"),
+            (
+                (top_frac <= REP_MAX_TOP_BIGRAM) & (dup_frac <= REP_MAX_DUP_SPAN)
+            ).alias("keep"),
+        )
+    )
+
+
+@q(
+    "dedup_lines_c4",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tk[i*{SPAN_W}+1 : i*{SPAN_W}+{SPAN_W}], ' ') AS span
+      FROM tok,
+           unnest(generate_series(0, CAST(ceil(len(tk)/{SPAN_W}.0) AS BIGINT) - 1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans),
+    stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+      FROM ranked GROUP BY 1),
+    txt AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text
+      FROM ranked WHERE rn = 1 GROUP BY 1)
+    SELECT s.doc_id, s.n_spans, s.n_kept,
+           coalesce(t.clean_text, '') AS clean_text
+    FROM stats s LEFT JOIN txt t USING (doc_id)
+    """,
+)
+def dedup_lines_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-global duplicate-span removal with reassembly: every
+    SPAN_W-token span that occurs anywhere else in the corpus keeps only its
+    globally-first occurrence (ordered by doc_id, then position); each doc is
+    re-emitted with its surviving spans concatenated in order.
+
+    Scale shape: ONE shuffle on the span text (the dedup key — same key
+    shape as dedup_exact but at span granularity) for the global
+    first-occurrence window, then one doc_id-keyed aggregation to reassemble.
+    The per-doc collect_list is bounded by a single document's span count,
+    never corpus-scale. At 10^10 docs the span shuffle is the cost, which is
+    irreducible for this semantics; span-hash bucketing keeps it balanced
+    (the key is high-entropy text).
+
+    Graft provenance: the duplicate-removal role of the reference's seen-set
+    (pages/crawler.py seen-id gate) lifted from URL granularity to the
+    published C4 three-sentence-span dedup a webtext pipeline runs.
+    """
+    from pyspark.sql import Window
+
+    spans = (
+        t_split(spark, sf, "documents")
+        .select("doc_id", _tokens_col())
+        .select("doc_id", F.posexplode(_spans_expr()).alias("pos", "span"))
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("span"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
 #: tokens per shard for pack_token_shards (a pretraining shard budget)
 PACK_BUDGET = 2048
 
