@@ -51,6 +51,8 @@ SUBSET = [
     "dedup_lines_c4",
     "order_priority_check",
     "priority_shipment_counts",
+    "returned_item_top20",
+    "large_volume_customers",
 ]
 
 

@@ -107,7 +107,7 @@ def test_global_topk_never_single_partition_window(spark):
 def test_topk_queries_plan_take_ordered(spark):
     # every global top-k in the suite must be TakeOrderedAndProject, never a
     # partition-less window over the full input
-    for name in ["shipping_priority_top10", "top_ngrams"]:
+    for name in ["shipping_priority_top10", "top_ngrams", "returned_item_top20"]:
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "Window" not in plan, name

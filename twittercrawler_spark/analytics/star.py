@@ -1419,3 +1419,108 @@ def min_cost_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("supplier_acctbal"),
         )
     )
+
+
+# Q10 flavor — returned-item reporting: which customers returned the most
+# revenue in a quarter. Fact⋈fact⋈dim star join, global top-20.
+@q(
+    "returned_item_top20",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_name, n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS rev,
+             round(max(c_acctbal), 2) AS acctbal
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY 1, 2, 3)
+    SELECT c_custkey, c_name, n_name,
+           CAST(rev AS DOUBLE) AS revenue, acctbal FROM (
+      SELECT *, row_number() OVER (ORDER BY rev DESC, c_custkey) AS rk FROM r) x
+    WHERE rk <= 20
+    """,
+)
+def returned_item_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer, top 20.
+
+    Scale shape: lineitem filters on returnflag and orders on the date range
+    BEFORE the fact⋈fact join (both predicates reach the scans); customer is
+    SF-scaled so carries no forced broadcast (AQE decides); nation is a
+    fixed-cardinality dim and is hinted. The global top-20 is
+    orderBy+limit ⇒ TakeOrderedAndProject, never a one-task window.
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf, "nation"))
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev"), F.round(F.max("c_acctbal"), 2).alias("acctbal"))
+    )
+    return (
+        r.orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev").cast("double").alias("revenue"), "acctbal",
+        )
+    )
+
+
+# Q18 flavor — large-volume customers: orders whose total quantity clears a
+# threshold (agg-filtered semi join back to the fact), then customer detail.
+@q(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           round(o_totalprice, 2) AS total_price,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape: customers holding orders above a quantity threshold.
+
+    Scale shape: the IN-subquery is a partial-agg (map-side combine) over
+    lineitem keyed by l_orderkey, filtered, then a LEFT SEMI join back to
+    orders on the same key — the two lineitem passes share the orderkey
+    shuffle key so AQE/exchange reuse applies; no decorrelation gymnastics,
+    no row explosion. Customer is SF-scaled: no forced broadcast.
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
