@@ -207,3 +207,75 @@ def test_stream_dedup_exact_one_survivor_per_hash(spark, tmp_path):
     for r in out:
         assert r["doc_id"] in groups[r["text"]]
     assert {r["text"] for r in out} == set(groups)
+
+
+def test_stream_curation_matches_batch_gate(spark, tmp_path):
+    """Streaming curation emits exactly the batch gate's survivors: every
+    emitted row passes lang/token/quality gates with feature values equal to
+    the batch formula (DuckDB-computed), one survivor per content hash, and
+    the emitted hash set equals the batch-gated hash set (duplicates split
+    across micro-batch files so dedup state must carry between batches)."""
+    import duckdb
+
+    from twittercrawler_spark.streaming.windows import stream_curation
+    from twittercrawler_spark.analytics.curation import (
+        CUR_LANG,
+        CUR_MIN_QUALITY,
+        CUR_MIN_TOKENS,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1); duplicate an en doc
+    # into a LATER file so the cross-batch dedup state is exercised
+    parts = src.randomSplit([1.0, 1.0, 1.0], seed=7)
+    dup = src.filter(F.col("lang") == CUR_LANG).orderBy("doc_id").limit(1)
+    parts[2] = parts[2].unionByName(
+        dup.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    import glob
+    import shutil
+
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(tmp_path / f"f{i}.parquet"))
+        part = glob.glob(str(tmp_path / f"f{i}.parquet" / "*.parquet"))[0]
+        shutil.copy(part, flat / f"part-{i}.parquet")
+
+    q = stream_curation(spark, str(flat), str(tmp_path / "ck_cur"), "cur_stream")
+    drain(q)
+    out = spark.table("cur_stream").toPandas()
+
+    gated = duckdb.sql(
+        f"""
+        WITH cand AS (
+          SELECT doc_id, text FROM read_parquet('{flat}/*.parquet')
+          WHERE lang = '{CUR_LANG}'),
+        tok AS (
+          SELECT doc_id, tk FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+            FROM cand) u
+          WHERE tk <> ''),
+        feat AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(0.5 * (CAST(count(DISTINCT tk) AS DOUBLE) / count(*)) +
+                       0.5 * (CAST(sum(CASE WHEN tk IN ('the','a','of','and')
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                              / count(*)), 6) AS quality
+          FROM tok GROUP BY 1)
+        SELECT c.doc_id, md5(c.text) AS hh, f.n_tokens, f.quality
+        FROM cand c JOIN feat f USING (doc_id)
+        WHERE f.n_tokens >= {CUR_MIN_TOKENS} AND f.quality >= {CUR_MIN_QUALITY}
+        """
+    ).df()
+
+    # one survivor per hash; hash sets equal
+    assert out["hh"].is_unique
+    assert set(out["hh"]) == set(gated["hh"])
+    # survivors are members of their gated group with batch-identical features
+    merged = out.merge(gated, on=["doc_id", "hh"], suffixes=("_s", "_b"))
+    assert len(merged) == len(out)
+    assert (merged["n_tokens_s"] == merged["n_tokens_b"]).all()
+    assert (abs(merged["quality_s"] - merged["quality_b"]) < 1e-9).all()
+    # the injected cross-batch duplicate did NOT survive twice
+    assert (out["doc_id"] < 1_000_000).all()

@@ -258,3 +258,61 @@ def stream_dedup_exact(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curation(
+    spark: SparkSession, docs_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Streaming twin of the batch ``curation_pipeline`` gate: language
+    filter → per-doc quality features → quality gate → streaming exact
+    dedup, applied to documents AS THEY ARRIVE.
+
+    The batch pass computes quality via explode + groupBy (the distributed
+    shape for unbounded docs); the streaming twin computes the SAME numbers
+    within-row with array expressions (size / array_distinct / filter) —
+    stateless per document, so the only streaming state is the dedup
+    store: one row per distinct content hash, exactly the crawl frontier's
+    seen-set shape. Gate constants are shared with the batch operator, so
+    the two stay in lockstep by construction.
+
+    Contract (asserted by test): every emitted row passes the gates with
+    feature values identical to the batch formula, and across micro-batches
+    the emitted set holds ONE survivor per distinct content hash, the hash
+    set equal to the batch-gated hash set.
+    """
+    from ..analytics.curation import CUR_LANG, CUR_MIN_QUALITY, CUR_MIN_TOKENS
+
+    schema = spark.read.parquet(docs_dir).schema
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and"]])
+    n_tok = F.size("tk").cast("bigint")
+    n_stop = F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stop, x)))
+    quality = F.round(
+        0.5 * (F.size(F.array_distinct("tk")).cast("double") / F.size("tk"))
+        + 0.5 * (n_stop.cast("double") / F.size("tk")),
+        6,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .filter(F.col("lang") == CUR_LANG)
+        .withColumn("tk", tk)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("quality", quality)
+        .drop("tk")
+        .filter(
+            (F.col("n_tokens") >= CUR_MIN_TOKENS)
+            & (F.col("quality") >= CUR_MIN_QUALITY)
+        )
+        .withColumn("hh", F.md5("text"))
+        .dropDuplicates(["hh"])
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
