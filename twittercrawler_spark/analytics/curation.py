@@ -378,11 +378,13 @@ def pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = tok.withColumn("_ibase", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
-    wg = (
-        Window.partitionBy(F.coalesce(F.length(F.col("_g").cast("string")), F.lit(0)) * 0)
-        .orderBy("_g")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # level-2 running sum over the one-row-per-group totals table. This
+    # window is deliberately UNPARTITIONED — and Spark's single-partition
+    # warning is deliberately left visible — because its input is metadata
+    # scale by construction: one row per `group_span` docs (10^10 docs →
+    # ~152k rows through one task, a few MB). Masking the warning with a
+    # constant partition key would hide the signal if that ever changes.
+    wg = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
     gbase = (
         tok.groupBy("_g")
         .agg(F.sum("n_tokens").alias("_gtot"))
