@@ -53,6 +53,7 @@ SUBSET = [
     "priority_shipment_counts",
     "returned_item_top20",
     "large_volume_customers",
+    "signup_followon_1h",
 ]
 
 

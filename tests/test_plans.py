@@ -172,3 +172,12 @@ def test_min_cost_supplier_pushdown(spark):
     assert any("p_size" in p for p in pushed)
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # the 1-hour range join must plan as a (user, bucket) equi hash/merge
+    # join — never the BroadcastNestedLoopJoin Spark gives a naive non-equi
+    # join — with the exact range predicate applied post-join
+    plan = plan_of(spark, "signup_followon_1h")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

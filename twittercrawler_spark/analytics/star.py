@@ -1524,3 +1524,67 @@ def large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
     )
+
+
+# Range join — follow-on activity within one hour of each signup event.
+# Spark has no RANGE JOIN operator; the naive non-equi join plans as a
+# BroadcastNestedLoopJoin (all-pairs per user). The scalable composition is
+# time-bucketing with bucket width == range width: every in-range partner of
+# a probe lies in the probe's hour-bucket or the next one, so the probe side
+# is exploded to exactly those two bucket keys and the join is a plain
+# (user_id, bucket) EQUI join, followed by the exact range filter.
+@q(
+    "signup_followon_1h",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT s.event_id, s.user_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_follow,
+           round(coalesce(sum(e.value), 0), 6) AS follow_value
+    FROM s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def signup_followon_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-signup follow-on event count/value inside a 1-hour window.
+
+    Scale shape: candidate pairs are bounded by per-(user, hour) event
+    density — never all-pairs-per-user; the shuffle key (user_id, bucket)
+    is high-cardinality and time-spread, so no skew hot-spot; the 2× probe
+    duplication is on the FILTERED signup side only. The oracle states the
+    same semantics as the textbook non-equi join.
+    """
+    ev = t(spark, sf, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            F.col("user_id").alias("s_uid"),
+            F.col("ts").alias("s_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("jb"),
+        )
+    )
+    e = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_uid"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+        bucket.alias("e_bucket"),
+    )
+    in_range = (F.col("e_ts") > F.col("s_ts")) & (
+        F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    joined = s.join(
+        e,
+        (F.col("s_uid") == F.col("e_uid")) & (F.col("jb") == F.col("e_bucket")),
+        "left",
+    )
+    return joined.groupBy("event_id", F.col("s_uid").alias("user_id")).agg(
+        F.count(F.when(in_range, F.col("e_id"))).cast("bigint").alias("n_follow"),
+        F.round(
+            F.coalesce(F.sum(F.when(in_range, F.col("e_value"))), F.lit(0.0)), 6
+        ).alias("follow_value"),
+    )
