@@ -25,6 +25,7 @@ SUBSET = [
     "part_class_first_match",
     "label_propagation",
     "connected_components",
+    "pagerank_fixedpoint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

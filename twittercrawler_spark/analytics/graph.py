@@ -226,11 +226,101 @@ def connected_components(
     return comp.select("node", "comp")
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank: the third iterative-graph primitive, in INTEGER
+# arithmetic so both engines are bit-exact (the ann_ivf trick applied to
+# ranks). Ranks are scaled by 10^6; per-round contribution is r // outdeg
+# (integer floor division — deterministic, no float summation-order drift),
+# damping 0.85 applied as (85 * m) // 100. Isolated nodes keep the base
+# (1-d) mass; both engines run EXACTLY the same rounds of the same integer
+# recurrence, so equality is exact, not approximate.
+
+PR_ROUNDS = 3
+PR_SCALE = 1_000_000
+
+_PR_ROUND_SQL = """
+s{r} AS (
+  SELECT e.dst AS node, sum(p.r // d.outdeg) AS m
+  FROM edges e
+  JOIN p{p} p ON e.src = p.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY 1),
+p{r} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+  FROM p{p} n LEFT JOIN s{r} s ON n.node = s.node)
+"""
+
+
+def pagerank_oracle_sql(rounds: int = PR_ROUNDS) -> str:
+    base = f"""
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY 1),
+p0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)
+"""
+    rounds_sql = ",".join(_PR_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, rounds + 1))
+    return (
+        "WITH " + base + "," + rounds_sql
+        + f"\nSELECT node, r AS rank_fp FROM p{rounds}"
+    )
+
+
+def pagerank_fixedpoint(
+    spark: SparkSession, sf: str, rounds: int = PR_ROUNDS
+) -> DataFrame:
+    """Integer-exact PageRank over the supplier co-occurrence graph.
+
+    Scale shape: edges cached once, pre-partitioned on src (the per-round
+    join key); the rank state and degree table are node-sized; each round is
+    join → dst-keyed sum → node-sized update, localCheckpoint'd so lineage
+    stays flat — identical round shape to label_propagation/components.
+    """
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    ranks = sup.select(
+        F.col("s_suppkey").alias("node"),
+        F.lit(PR_SCALE).cast("bigint").alias("r"),
+    )
+    edges = _edges(spark, sf).repartition("src").cache()
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("outdeg"))
+    )
+    for _ in range(rounds):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000).cast("bigint")
+                    + F.expr("(85 * coalesce(m, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
 QUERIES = {
     "label_propagation": label_propagation,
     "connected_components": connected_components,
+    "pagerank_fixedpoint": pagerank_fixedpoint,
 }
 ORACLES = {
     "label_propagation": label_propagation_oracle_sql(),
     "connected_components": connected_components_oracle_sql(),
+    "pagerank_fixedpoint": pagerank_oracle_sql(),
 }
