@@ -55,6 +55,10 @@ SUBSET = [
     "returned_item_top20",
     "large_volume_customers",
     "signup_followon_1h",
+    "forecast_revenue_delta",
+    "top_supplier_by_revenue",
+    "small_qty_avg_revenue",
+    "discounted_revenue_bands",
 ]
 
 

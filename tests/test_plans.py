@@ -181,3 +181,30 @@ def test_range_join_is_bucketed_equi_join(spark):
     plan = plan_of(spark, "signup_followon_1h")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_scan_shape(spark):
+    """Q6 shape: all three predicates pushed, 4-column ReadSchema, no join."""
+    plan = plan_of(spark, "forecast_revenue_delta")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_discounted_revenue_bands_pushdown(spark):
+    """Q19 shape: per-side envelopes reach BOTH scans despite the cross-side OR."""
+    plan = plan_of(spark, "discounted_revenue_bands")
+    pushed = [s.split("]")[0] for s in plan.split("PushedFilters")[1:]]
+    assert any("l_quantity" in p for p in pushed)
+    assert any("p_brand" in p or "p_size" in p for p in pushed)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_scalar_max_broadcast(spark):
+    """Q15 shape: the 1-row max joins broadcast; ties preserved (no LIMIT plan)."""
+    plan = plan_of(spark, "top_supplier_by_revenue")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" not in plan

@@ -1588,3 +1588,239 @@ def signup_followon_1h(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum(F.when(in_range, F.col("e_value"))), F.lit(0.0)), 6
         ).alias("follow_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 Q-shape widening: the remaining distinct TPC-H access patterns the
+# suite had no representative for. All follow the suite-wide determinism
+# rules (_util module docstring): DECIMAL(12,2) money math, round(x, 6) on
+# derived doubles, total-order tie-breaks.
+
+
+# Q6 flavor — pure scan-filter-aggregate: the canonical predicate-pushdown /
+# column-pruning showcase. No join, no window: one partial+final agg over a
+# scan that reads exactly 4 columns with all three filters pushed to parquet.
+@q(
+    "forecast_revenue_delta",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 shape: what-if revenue from discount removal.
+
+    Scale shape: filters sit directly on the scan (shipdate range, discount
+    band, quantity cap all reach PushedFilters), ReadSchema is the 4 used
+    columns, and the single scalar agg is partial+final — at 100 TB this is
+    a map-side-combine scan job with a 1-row shuffle.
+    """
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# Q14 flavor — conditional-share aggregate: one pass computes both the
+# conditional numerator and the unconditional denominator (no second scan,
+# no self-join).
+@q(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape: promo revenue as a share of the month's total.
+
+    Scale shape: the month filter prunes lineitem BEFORE the join; part is
+    SF-scaled so it carries no forced broadcast (AQE decides); numerator and
+    denominator are two aggregates of ONE groupBy-less agg — a single
+    shuffle-to-one-row job, not two passes.
+    """
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == p.p_partkey)
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+# Q15 flavor — max-equality against an aggregated view: top revenue supplier
+# kept WITH ties (scalar-max semi filter, not a LIMIT 1).
+@q(
+    "top_supplier_by_revenue",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM r JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM r)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the quarter's maximum revenue.
+
+    Scale shape: revenue-per-supplier is one partial+final agg; the scalar
+    max is an agg OF that agg (1 row, broadcast by construction) — ties are
+    preserved by the equality filter, unlike an ORDER BY/LIMIT 1 plan which
+    would both break ties arbitrarily and funnel through a single task.
+    The max-equality compare happens in DECIMAL (exact), cast to double
+    only for output.
+    """
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    r = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("tr"))
+    )
+    mx = r.agg(F.max("tr").alias("mx"))  # 1 row — broadcast is size-correct
+    return (
+        r.join(F.broadcast(mx), F.col("tr") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("tr").cast("double").alias("total_rev")
+        )
+    )
+
+
+# Q17 flavor — decorrelated per-key average: quantity below 20% of the
+# part's own mean. The correlated scalar subquery becomes an agg + equi-join.
+@q(
+    "small_qty_avg_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_type = 'ECONOMY' AND p_size <= 10
+      AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def small_qty_avg_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 shape: revenue lost to small-quantity orders of small parts.
+
+    Scale shape: the correlated AVG decorrelates into a second lineitem agg
+    keyed by l_partkey — the SAME shuffle key as the main join, so the two
+    passes share an exchange under reuse; the filtered part side prunes
+    first. avg(l_quantity) is exact cross-engine: quantities are
+    integer-valued doubles, their sum is exact, and both engines divide the
+    exact sum by the count.
+    """
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# Q19 flavor — OR-of-ANDs theta bands across both join sides: three
+# (brand, size-band, quantity-band) disjuncts evaluated post-join.
+@q(
+    "discounted_revenue_bands",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def discounted_revenue_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: discounted revenue over disjunctive brand/size/qty bands.
+
+    Scale shape: the part-only disjunction (brand ∈ {12,23,15} with its size
+    bands) and the lineitem-only envelope (l_quantity BETWEEN 1 AND 30) are
+    stated as EXPLICIT pre-join filters so both reach the parquet scans —
+    Catalyst does not derive the per-side envelopes from a cross-side OR on
+    its own; the exact three-way disjunct then runs post-join on the
+    pre-pruned pairs.
+    """
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = t(spark, sf, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
