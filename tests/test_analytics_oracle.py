@@ -59,6 +59,10 @@ SUBSET = [
     "top_supplier_by_revenue",
     "small_qty_avg_revenue",
     "discounted_revenue_bands",
+    "profit_by_nation_year",
+    "important_stock_parts",
+    "sole_late_shipper_ranking",
+    "idle_rich_customers",
 ]
 
 

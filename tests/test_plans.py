@@ -208,3 +208,19 @@ def test_top_supplier_scalar_max_broadcast(spark):
     plan = plan_of(spark, "top_supplier_by_revenue")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_sole_late_shipper_semi_anti_shape(spark):
+    """Q21 shape: semi + anti self-joins, no cartesian, top-20 as TakeOrdered."""
+    plan = plan_of(spark, "sole_late_shipper_ranking")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_scalar_thresholds_broadcast(spark):
+    """Q11/Q22 shape: the 1-row scalar side joins as a broadcast."""
+    for name in ("important_stock_parts", "idle_rich_customers"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name

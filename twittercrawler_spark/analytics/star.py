@@ -1824,3 +1824,210 @@ def discounted_revenue_bands(spark: SparkSession, sf: str) -> DataFrame:
         .filter(band)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# Q9 flavor — multi-join profit rollup: pattern-filtered part, fact joined to
+# part+supplier+nation, profit = revenue minus a quantity-scaled cost proxy
+# (the driver schema has no partsupp table; 60% of retail price stands in
+# for supply cost), grouped by nation x year.
+@q(
+    "profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+                  - CAST(p_retailprice AS DECIMAL(12,2)) *
+                    CAST(0.60 AS DECIMAL(4,2)) *
+                    CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and ship year.
+
+    Scale shape: the p_name pattern prunes part before the fact join (the
+    LIKE is pushed as a string-contains scan filter); nation is the only
+    broadcast-hinted side (fixed 25 rows); part/supplier are SF-scaled and
+    AQE-decided. All money math stays in DECIMAL until the final cast, so
+    the profit sum is bit-exact across engines.
+    """
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    s = t(spark, sf, "supplier")
+    n = F.broadcast(t(spark, sf, "nation"))
+    profit = dec("l_extendedprice") * (
+        F.lit(1.00).cast("decimal(12,2)") - dec("l_discount")
+    ) - dec("p_retailprice") * F.lit(0.60).cast("decimal(4,2)") * dec("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# Q11 flavor — group-total vs global-scalar threshold: per-part traded value
+# filtered against a fraction of the ALL-parts total (HAVING against an
+# aggregate of the same aggregation).
+@q(
+    "important_stock_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+      FROM lineitem GROUP BY 1)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS val
+    FROM v
+    WHERE val > (SELECT CAST(0.00055 AS DECIMAL(7,5)) * sum(val) FROM v)
+    """,
+)
+def important_stock_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape: parts whose traded value exceeds 0.1% of the global total.
+
+    Scale shape: one partial+final agg builds the per-part values; the
+    global threshold is an agg OF that agg (1 row, broadcast by size); the
+    comparison stays in DECIMAL (exact both engines) and only the output is
+    cast to double. No second scan of lineitem.
+    """
+    li = t(spark, sf, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("val"))
+    thr = v.agg(
+        (F.lit(0.00055).cast("decimal(7,5)") * F.sum("val")).alias("thr")
+    )  # 1 row
+    return (
+        v.join(F.broadcast(thr), F.col("val") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.col("val").cast("double").alias("val")
+        )
+    )
+
+
+# Q21 flavor — EXISTS + NOT EXISTS composition on the SAME fact: suppliers
+# who were the sole latest shipper in multi-supplier finished orders. The
+# two correlated quantifiers decorrelate into a LEFT SEMI and a LEFT ANTI
+# self-join sharing one shuffle key.
+@q(
+    "sole_late_shipper_ranking",
+    """
+    SELECT s_suppkey, s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def sole_late_shipper_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: EXISTS/NOT EXISTS pair over the same fact table.
+
+    Scale shape: both quantifiers join lineitem-to-lineitem on l_orderkey —
+    the SAME shuffle key back to back, so the exchange is reused; the anti
+    join carries the (suppkey differs AND ships later) residual as a join
+    condition, never a cartesian. The final top-20 is a total order
+    (n_orders DESC, s_suppkey) → TakeOrderedAndProject, deterministic under
+    any parallelism.
+    """
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey"))
+        & (F.col("y_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    agg = (
+        cand.join(
+            o.select(F.col("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("n_orders"))
+    )
+    return agg.orderBy(F.col("n_orders").desc(), F.col("s_suppkey")).limit(20)
+
+
+# Q22 flavor — global-scalar threshold + anti join: customers richer than
+# the positive-balance average with no RECENT order (anti join against a
+# date-filtered orders projection), rolled up by nation.
+@q(
+    "idle_rich_customers",
+    """
+    WITH ab AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS thr
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer, ab
+    WHERE c_acctbal > thr
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no recent orders.
+
+    Scale shape: the threshold is exact-sum(DECIMAL)/count — one double
+    division on exact operands, bit-identical across engines (a naive
+    avg(double) would be summation-order dependent); the scalar is a 1-row
+    broadcast; the NOT EXISTS is a LEFT ANTI join against the orders
+    custkey projection (shuffle on o_custkey, no driver collection).
+    """
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double") / F.count("*")
+            ).alias("thr")
+        )
+    )  # 1 row
+    return (
+        c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("thr"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
