@@ -63,6 +63,8 @@ SUBSET = [
     "important_stock_parts",
     "sole_late_shipper_ranking",
     "idle_rich_customers",
+    "pii_scrub",
+    "tfidf_top_terms",
 ]
 
 

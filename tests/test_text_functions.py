@@ -128,3 +128,34 @@ def test_word_shingles_cross_engine_nasty_texts(spark):
     assert ("one two" in texts) and sum(1 for d, _ in got if d == 3) == 1
     assert sum(1 for d, _ in got if d == 4) == 1
     assert sum(1 for d, _ in got if d in (5, 6)) == 0
+
+
+def test_pii_scrub_redacts_injected_pii(spark, tmp_path):
+    """Crafted rows with known PII come back redacted with exact counts."""
+    from twittercrawler_spark.analytics.textstats import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@ex-ample.co.uk end"),
+        (2, "server at 10.0.0.255 and 192.168.1.1 up"),
+        (3, "call 555-123-4567 or 555 1234 9999 now"),
+        (4, "clean text with version 1.2 and year 2024"),
+        (5, "a@b.io logged from 8.8.8.8 phone 123-456-7890"),
+    ]
+    d = tmp_path / "pii"
+    spark.createDataFrame(
+        [(i, s, "en", "web", len(s)) for i, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(spark, str(d)).collect()
+    }
+    assert out[1]["clean_text"] == "mail <EMAIL> end" and out[1]["n_email"] == 1
+    assert out[2]["clean_text"] == "server at <IP> and <IP> up" and out[2]["n_ip"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> now" and out[3]["n_phone"] == 2
+    # version/date numbers must NOT be redacted
+    assert out[4]["clean_text"] == rows[3][1]
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (0, 0, 0)
+    # mixed row: all three kinds redacted, counted on the original text
+    assert out[5]["clean_text"] == "<EMAIL> logged from <IP> phone <PHONE>"
+    assert (out[5]["n_email"], out[5]["n_ip"], out[5]["n_phone"]) == (1, 1, 1)

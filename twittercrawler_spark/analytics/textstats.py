@@ -285,3 +285,130 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_md5"),
         "fp_min",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact emails / IPv4s / phone-shaped numbers before a corpus
+# ships to training. Patterns are written in the dialect subset shared by
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround — so both
+# engines produce byte-identical redactions. Counts are taken on the
+# ORIGINAL text per pattern; the clean text applies the chain sequentially
+# (email → ip → phone).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
+
+
+@q(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Redact emails, IPv4 addresses and phone-shaped numbers.
+
+    The reference stores raw tweet JSON verbatim (PreprocessDump.py writes
+    user screen names and urls through unmodified); a training-data pipeline
+    must scrub instead. Scale shape: pure per-row JVM regexp expressions
+    inside whole-stage codegen — no shuffle, no Python; a 100 TB corpus
+    scrubs at scan speed. Counts come from the pre-redaction text so the
+    three totals are auditable independent of chain order.
+    """
+    d = t_split(spark, sf, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IP)).cast("bigint").alias("n_ip"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("bigint").alias("n_phone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language: term frequency per (lang, term) joined with
+# corpus document frequency, weighted tf·ln(1 + N/df), top-5 per language.
+@q(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, tk FROM (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tk
+        FROM documents) WHERE tk <> ''),
+    tf AS (SELECT lang, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tk, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT lang, tf.tk AS term, tf.tf AS tf,
+             round(tf.tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN nd)
+    SELECT lang, term, tf, tfidf FROM (
+      SELECT w.*, row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, term) AS rn FROM w)
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language.
+
+    Scale shape: tf and df are both partial+final aggs over the token
+    explode keyed by token — the df pass piggybacks the same shuffle key;
+    the corpus size N is a 1-row broadcast; the final top-5 window runs
+    over PRE-AGGREGATED (lang, term) rows (vocab-sized, not corpus-sized),
+    partitioned by lang with a total order (rounded weight DESC, term) so
+    ties are engine-independent. ln(1 + N/df) is computed on identical
+    doubles in both engines; the weight is rounded to 6 before ordering so
+    the rank itself is parity-stable.
+    """
+    d = t_split(spark, sf, "documents")
+    tok = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
+        )
+        .filter(F.col("tk") != "")
+    )
+    tf = tok.groupBy("lang", F.col("tk").alias("term")).agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tok.groupBy(F.col("tk").alias("d_term")).agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))  # 1 row
+    w = (
+        tf.join(df, F.col("term") == F.col("d_term"))
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    )
+    return (
+        w.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tf", "tfidf")
+    )
