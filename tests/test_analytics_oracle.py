@@ -65,6 +65,8 @@ SUBSET = [
     "idle_rich_customers",
     "pii_scrub",
     "tfidf_top_terms",
+    "rolling_event_avg_1h",
+    "events_resample_locf",
 ]
 
 

@@ -14,10 +14,11 @@ from . import (
     multimodal,
     similarity,
     star,
+    temporal,
     textstats,
 )
 
-_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, curation, crawl_queries]
+_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, curation, crawl_queries, temporal]
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
