@@ -67,6 +67,8 @@ SUBSET = [
     "tfidf_top_terms",
     "rolling_event_avg_1h",
     "events_resample_locf",
+    "bm25_search",
+    "inverted_index",
 ]
 
 

@@ -107,10 +107,20 @@ def test_global_topk_never_single_partition_window(spark):
 def test_topk_queries_plan_take_ordered(spark):
     # every global top-k in the suite must be TakeOrderedAndProject, never a
     # partition-less window over the full input
-    for name in ["shipping_priority_top10", "top_ngrams", "returned_item_top20"]:
+    for name in ["shipping_priority_top10", "top_ngrams", "returned_item_top20",
+                 "bm25_search"]:
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "Window" not in plan, name
+
+
+def test_inverted_index_two_level_no_flat_window(spark):
+    """The posting-list build must be the two-level salt decomposition:
+    no per-term WindowExec (a stopword's postings would funnel one task)
+    and no cartesian anywhere."""
+    plan = plan_of(spark, "inverted_index")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_sf_scaled_tables_carry_no_broadcast_hint(spark):

@@ -13,12 +13,13 @@ from . import (
     graph,
     multimodal,
     similarity,
+    search,
     star,
     temporal,
     textstats,
 )
 
-_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, curation, crawl_queries, temporal]
+_MODULES = [star, graph, dedup, similarity, textstats, multimodal, classify, curation, crawl_queries, temporal, search]
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}

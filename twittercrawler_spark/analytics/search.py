@@ -1,0 +1,184 @@
+"""Lexical retrieval over the documents corpus: BM25 top-k and a
+skew-safe inverted index.
+
+The reference's only retrieval is the Twitter search API call itself
+(`/root/reference/pages/Crawler.py:80-117` — the query string is shipped
+to the service) and substring filters over fetched text
+(`pages/Postprocess_scripts/*`). A self-hosted corpus needs the
+server-side equivalents: a ranked keyword search (BM25) and the index
+structure that serves it (term → posting list). Both are expressed so the
+corpus-scale relation shuffles once on its natural key and per-term skew
+(stopword posting lists) is bounded by construction.
+
+Cross-engine determinism: tf/df/dl are exact BIGINTs; avgdl is an exact
+integer division (sum(dl)/N on exact longs in both engines); the one
+floating-point expression per (doc, term) is computed identically in both
+engines (same literals, same operand order — the tfidf_top_terms
+precedent), rounded to 6 and accumulated in DECIMAL so summation order
+cannot perturb the total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t_split
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+#: the fixed search query (a literal dim — broadcast by construction)
+BM25_TERMS = ("scan", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_TERMS_SQL = ", ".join(f"'{w}'" for w in BM25_TERMS)
+_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval, top-k documents for a fixed term set.
+#
+# Scale shape: the token explode is filtered to the query terms BEFORE the
+# tf aggregation, so the shuffled relation is |docs containing a query
+# term| × |query terms| — not the corpus token stream. df falls out of tf
+# with a 3-row aggregate (broadcast back), doc length is a codegen
+# expression (no second explode), and N/avgdl are a 1-row broadcast. The
+# final top-k is a global orderBy+limit → TakeOrderedAndProject (per-task
+# heaps, no single-partition sort).
+@q(
+    "bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+    tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id, unnest({_TOK}) AS tk FROM documents)
+      WHERE tk IN ({_TERMS_SQL})),
+    tf AS (
+      SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * ({BM25_K1} + 1.0)) /
+               (tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs))),
+               6) AS DECIMAL(18,6)) AS s
+      FROM tf
+      JOIN df USING (tk)
+      JOIN d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    total AS (
+      SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM scored GROUP BY 1)
+    SELECT doc_id, score FROM total
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t_split(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("tk")).filter(
+        F.col("tk").isin(*BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = tf.groupBy("tk").agg(F.count("*").cast("bigint").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tk")
+        .join(d, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm, 6).cast("decimal(18,6)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index with bounded posting lists — term → (df, first-K postings
+# by doc_id). The build is TWO-LEVEL on a doc_id salt: per-(term, salt)
+# partial min-K arrays first, then a flatten+re-slice per term over at most
+# POST_SALTS bounded arrays. A flat `collect_list` per term would funnel a
+# stopword's entire posting set (≈ the whole corpus at 10^10 docs) through
+# one task; here no task ever holds more than POST_SALTS × POST_K ids per
+# term, while df stays exact via the per-salt counts. Same decomposition as
+# the crawl scheduler's two-phase per-host top-k (frontier/scheduler.py).
+POST_K = 20
+POST_SALTS = 64
+
+
+@q(
+    "inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tk FROM (
+        SELECT doc_id, unnest({_TOK}) AS tk FROM documents)),
+    df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+    top AS (
+      SELECT tk, doc_id,
+             row_number() OVER (PARTITION BY tk ORDER BY doc_id) AS rn
+      FROM tok)
+    SELECT top.tk AS term, df.df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM top JOIN df USING (tk) WHERE rn <= {POST_K}
+    GROUP BY 1, 2
+    """,
+)
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t_split(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("tk")).distinct()
+    lvl1 = tok.groupBy(
+        F.col("tk").alias("term"), F.pmod("doc_id", F.lit(POST_SALTS)).alias("salt")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, POST_K).alias("arr"),
+    )
+    return lvl1.groupBy("term").agg(
+        F.sum("n").cast("bigint").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.flatten(F.collect_list("arr"))), 1, POST_K),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
