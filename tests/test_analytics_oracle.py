@@ -69,6 +69,9 @@ SUBSET = [
     "events_resample_locf",
     "bm25_search",
     "inverted_index",
+    "triangle_count",
+    "nation_market_share",
+    "dominant_part_suppliers",
 ]
 
 

@@ -2031,3 +2031,128 @@ def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
+
+
+# Q8 flavor — national market share: one nation's fraction of regional
+# import revenue per order year.
+@q(
+    "nation_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sn.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (1.00 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA')
+    SELECT yr,
+           round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3'
+                                        THEN rev END), 0) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY yr
+    """,
+)
+def nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape: NATION_3's share of ASIA-customer revenue per year.
+
+    Scale shape: region+nation are fixed-cardinality broadcasts; the
+    customer-region filter prunes the orders side BEFORE the fact join;
+    customer/supplier stay AQE-decided (SF-scaled, no forced hint). Both
+    numerator and denominator accumulate in DECIMAL over the same rows —
+    one pass, no second scan for the total — and divide once as doubles,
+    rounded to 6 in both engines.
+    """
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf, "supplier")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")))
+    sn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1.00).cast("decimal(12,2)") - dec("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("supp_nation"),
+            rev.alias("rev"),
+        )
+    )
+    num = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))),
+        F.lit(0).cast("decimal(22,2)"),
+    )
+    return base.groupBy("yr").agg(
+        F.round(num.cast("double") / F.sum("rev").cast("double"), 6).alias("mkt_share")
+    )
+
+
+# Q20 flavor — dominant-supplier detection: suppliers holding more than a
+# fixed fraction of some widget-part's shipped quantity in a date window
+# (the driver schema has no partsupp, so the availqty threshold of TPC-H
+# Q20 becomes a share-of-part-volume threshold over lineitem itself).
+@q(
+    "dominant_part_suppliers",
+    """
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey, CAST(sum(q) AS DECIMAL(22,2)) AS tq
+      FROM vol GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+    FROM vol
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE q * 100 > tq * 30
+    GROUP BY 1, 2
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape: suppliers with >30% of a filtered part's windowed volume.
+
+    Scale shape: the name pattern + ship-date window prune the fact scan
+    (both pushed to parquet); the per-(part,supp) and per-part volumes are
+    two aggregations over the SAME l_partkey shuffle key, so the
+    share-threshold join is co-partitioned (no extra exchange); the
+    threshold compare is integer-scaled DECIMAL (q*100 > tq*30), never a
+    float ratio. supplier stays AQE-decided.
+    """
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    s = t(spark, sf, "supplier")
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(22,2)").alias("q"))
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("q").cast("decimal(22,2)").alias("tq"))
+    return (
+        vol.join(tot, "l_partkey")
+        .filter(F.col("q") * 100 > F.col("tq") * 30)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("n_dominant_parts"))
+    )
