@@ -279,3 +279,63 @@ def test_stream_curation_matches_batch_gate(spark, tmp_path):
     assert (abs(merged["quality_s"] - merged["quality_b"]) < 1e-9).all()
     # the injected cross-batch duplicate did NOT survive twice
     assert (out["doc_id"] < 1_000_000).all()
+
+
+def test_stream_followon_join_matches_batch_pairs(spark, tmp_path):
+    """The watermarked stream-stream range join emits exactly the batch
+    inner range join's (signup, follow-on) pair set, with matching rows
+    deliberately split across micro-batches so the join state must buffer
+    one side until the partner arrives, and boundary rows prove the strict
+    `>` / inclusive `<= +1h` range ends."""
+    import datetime as dt
+
+    from twittercrawler_spark.streaming.windows import stream_followon_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(eid, ts_min, uid, etype, value=1.0):
+        return (eid, t0 + dt.timedelta(minutes=ts_min), uid, etype, value, "{}")
+
+    # file 0: signups; file 1: some follows; file 2: cross-batch follows
+    rows_by_file = [
+        [row(1, 0, 10, "signup"), row(2, 120, 10, "signup"),
+         row(3, 0, 20, "signup")],
+        [row(4, 30, 10, "click"),      # match signup 1
+         row(5, 61, 10, "click"),      # 61 min: out of range for signup 1
+         row(6, 0, 20, "click")],      # equal ts: strict > excludes
+        [row(7, 60, 10, "view"),       # exactly +1h: inclusive end, match 1
+         row(8, 150, 10, "view"),      # match signup 2
+         row(9, 45, 20, "view")],      # match signup 3
+    ]
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    d = tmp_path / "ev_parts"
+    d.mkdir()
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(d / f"f{i}.parquet")
+        )
+    import glob
+    import shutil
+
+    flat = tmp_path / "ev_flat"
+    flat.mkdir()
+    for i, part in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(part, flat / f"part-{i}.parquet")
+
+    q = stream_followon_join(spark, str(flat), str(tmp_path / "ck_ssj"), "ssj_stream")
+    drain(q)
+    got = {(r["s_id"], r["e_id"]) for r in spark.table("ssj_stream").collect()}
+
+    # batch truth, computed directly from the fixture rows
+    allr = [r for rows in rows_by_file for r in rows]
+    signups = [r for r in allr if r[3] == "signup"]
+    expected = {
+        (s[0], e[0])
+        for s in signups
+        for e in allr
+        if e[2] == s[2]
+        and e[1] > s[1]
+        and e[1] <= s[1] + dt.timedelta(hours=1)
+    }
+    assert expected == {(1, 4), (1, 7), (2, 8), (3, 9)}  # fixture sanity
+    assert got == expected

@@ -316,3 +316,70 @@ def stream_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_followon_join(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, query_name: str
+):
+    """Watermarked stream-stream range join: each signup event joined to
+    the same user's follow-on events inside 1 hour — the streaming twin of
+    the batch ``signup_followon_1h`` range join (inner form: emitted rows
+    are the (signup, follow-on) PAIRS).
+
+    This is the one Structured Streaming join class with unbounded state
+    risk, made safe the standard way: BOTH sides carry an event-time
+    watermark and the join condition carries an explicit event-time range
+    (`e_ts BETWEEN s_ts AND s_ts + 1h`), so Spark derives a state-eviction
+    bound for each side (a signup can be dropped once the event watermark
+    passes its ts + 1h, and vice versa) instead of buffering the streams
+    forever. State is keyed by (user, time-range) — bounded by in-flight
+    windows, not stream length.
+
+    Contract (asserted by test): with the backlog drained, the emitted pair
+    set equals the batch inner range join's pair set on the same input —
+    exactly-once across micro-batches even though matching rows arrive in
+    DIFFERENT batches.
+    """
+    schema = spark.read.parquet(events_dir).schema
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+
+    s = (
+        _src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("user_id").alias("s_uid"),
+            F.col("ts").cast("timestamp").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    e = (
+        _src()
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_uid"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    j = s.join(
+        e,
+        F.expr(
+            "s_uid = e_uid AND e_ts > s_ts AND e_ts <= s_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return (
+        j.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
