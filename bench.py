@@ -46,6 +46,8 @@ HEADLINE = [
     "repetition_filter",
     "dedup_lines_c4",
     "lang_id_heuristic",
+    "bm25_search",
+    "inverted_index",
     "text_classify_scores",
     "token_stats",
     "doc_fingerprint",

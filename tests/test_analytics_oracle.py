@@ -72,6 +72,8 @@ SUBSET = [
     "triangle_count",
     "nation_market_share",
     "dominant_part_suppliers",
+    "pmi_bigrams",
+    "degree_distribution",
 ]
 
 

@@ -373,3 +373,35 @@ ORACLES = {
     "pagerank_fixedpoint": pagerank_oracle_sql(),
     "triangle_count": TRIANGLE_SQL,
 }
+
+
+DEGREE_DIST_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
+def degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the co-occurrence graph — the first sanity
+    report any graph pipeline emits (skew detection: a power-law tail here
+    is what motivates the salted/two-phase treatments everywhere else).
+
+    Scale shape: two partial+final aggregations (per-node degree on the
+    node key, then count-of-counts on the degree key) — the same
+    count-distribution shape as customer_order_distribution (Q13)."""
+    deg = (
+        _edges(spark, sf)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+QUERIES["degree_distribution"] = degree_distribution
+ORACLES["degree_distribution"] = DEGREE_DIST_SQL

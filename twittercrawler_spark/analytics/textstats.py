@@ -412,3 +412,105 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: adjacent-bigram pointwise mutual information, top-K.
+# The association form of the n-gram layer (top_ngrams ranks raw frequency;
+# PMI ranks how much MORE often a pair co-occurs than its parts predict —
+# the phrase-mining signal a tokenizer/vocab pipeline uses).
+#
+# Scale shape: unigram and bigram counts are two partial+final aggregations
+# keyed by token / pair; the two count joins are hash joins on the token
+# key (vocab-sized build sides, corpus never re-shuffled); the corpus
+# totals are a 1-row broadcast; top-K is TakeOrderedAndProject. The PMI is
+# evaluated as a SUM OF LOGS (ln c_ab + 2 ln T − ln B − ln c_a − ln c_b):
+# the product form c_ab·T²/(B·c_a·c_b) overflows BIGINT at web-corpus T,
+# the log form never does — identical expression in both engines, rounded
+# to 6 before the rank so ordering is parity-stable.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 30
+
+
+@q(
+    "pmi_bigrams",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    uni AS (
+      SELECT tk, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(w) AS tk FROM w) GROUP BY 1),
+    big AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        SELECT w[i] AS a, w[i+1] AS b
+        FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS g(i))
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS t_tok,
+             CAST((SELECT sum(c_ab) FROM big) AS BIGINT) AS t_big)
+    SELECT a, b, c_ab,
+           round(ln(CAST(c_ab AS DOUBLE)) + 2 * ln(CAST(t_tok AS DOUBLE))
+                 - ln(CAST(t_big AS DOUBLE)) - ln(CAST(ua.c AS DOUBLE))
+                 - ln(CAST(ub.c AS DOUBLE)), 6) AS pmi
+    FROM big
+    JOIN uni ua ON ua.tk = a
+    JOIN uni ub ON ub.tk = b
+    CROSS JOIN tot
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, a, b LIMIT {PMI_TOPK}
+    """,
+)
+def pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = t_split(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    w = d.select("doc_id", toks.alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pair_idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        pair_idx,
+        lambda i: F.struct(
+            F.element_at("w", i.cast("int")).alias("a"),
+            F.element_at("w", (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    big = (
+        w.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("c").cast("bigint").alias("t_tok")).join(
+            w.select(
+                F.greatest(F.size("w") - 1, F.lit(0)).cast("bigint").alias("nb")
+            ).agg(F.sum("nb").cast("bigint").alias("t_big"))
+        )
+    )
+    ua = uni.select(F.col("tk").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tk").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(F.col("c_ab").cast("double"))
+        + 2 * F.log(F.col("t_tok").cast("double"))
+        - F.log(F.col("t_big").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double")),
+        6,
+    )
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .join(tot)
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(PMI_TOPK)
+    )
