@@ -74,6 +74,8 @@ SUBSET = [
     "dominant_part_suppliers",
     "pmi_bigrams",
     "degree_distribution",
+    "anomaly_zscore_events",
+    "embedding_centroid_per_label",
 ]
 
 

@@ -574,3 +574,42 @@ def ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
     ).collect()
     refined = sorted((int(r["cid"]), list(r["qv"])) for r in refined_rows)
     return _ivf_search(spark, sf, quant, refined)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids — the class-prototype computation (cluster
+# summaries, nearest-class-mean classification, drift monitoring). Same
+# integer-exact arithmetic as the IVF quantizer: the shared ×1000
+# quantization, int64 per-(label, dim) sums planned as partial+final hash
+# aggregation (map-side combine eats the posexplode fan-out before the one
+# shuffle on the labels×dims key space), one double division at the end,
+# rounded to 6.
+@q(
+    "embedding_centroid_per_label",
+    """
+    WITH q AS (
+      SELECT label, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d))
+    SELECT label, CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(qv) AS DOUBLE) / count(*) / 1000.0, 6) AS centroid
+    FROM q GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").select(
+        "label", F.posexplode(F.col("embedding")).alias("d0", "val")
+    )
+    return (
+        e.select(
+            "label",
+            (F.col("d0") + 1).cast("int").alias("d"),
+            F.round(F.col("val").cast("double") * 1000, 0).cast("bigint").alias("qv"),
+        )
+        .groupBy("label", "d")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum("qv").cast("double") / F.count("*") / F.lit(1000.0), 6
+            ).alias("centroid"),
+        )
+    )

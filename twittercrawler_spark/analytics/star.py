@@ -2156,3 +2156,55 @@ def dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("bigint").alias("n_dominant_parts"))
     )
+
+
+# Outlier detection — per-type z-score flagging from exact moment sums.
+# The data-quality gate an events pipeline runs before training on
+# behavioral signals. mean and variance derive from DECIMAL sums of value
+# and value² (exact in both engines; a naive avg(double)/stddev(double)
+# is summation-order dependent and engine-divergent), so the one float
+# expression per row — the z itself — is computed on identical operands.
+ZSCORE_THRESHOLD = 3.0
+
+
+@q(
+    "anomaly_zscore_events",
+    f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(12,2)) *
+                      CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1)
+    SELECT event_id, e.event_type, value,
+           round((value - s1 / n) /
+                 sqrt((s2 - s1 * s1 / n) / n), 6) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((value - s1 / n) /
+              sqrt((s2 - s1 * s1 / n) / n)) > {ZSCORE_THRESHOLD}
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value sits more than 3σ from their type's mean.
+
+    Scale shape: the moment sums are ONE partial+final aggregation over
+    the fact scan (5 groups); the per-row z pass joins the 5-row stats
+    frame back as a broadcast — the fact table is scanned twice but never
+    shuffled. Population σ (the /n form) so both engines share the exact
+    formula.
+    """
+    ev = t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
