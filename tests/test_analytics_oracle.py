@@ -76,6 +76,8 @@ SUBSET = [
     "degree_distribution",
     "anomaly_zscore_events",
     "embedding_centroid_per_label",
+    "events_column_profile",
+    "weighted_sample_topk",
 ]
 
 

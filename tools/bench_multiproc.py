@@ -1,0 +1,159 @@
+"""Process-isolated executor emulation for the 8→32 scaling question.
+
+BENCH/STAGES.md shows the single-JVM `local[8]`→`local[32]` step losing
+most of its efficiency while the host's own multiprocessing ceiling
+(measured in the same run) stays near 1.0 — i.e. the loss is in-process
+(one JVM's scan/Arrow/GC threads + 32 Python UDF workers on shared SMT
+vCPUs), not host capacity. The deployment the north rule describes —
+4 × 8-core EXECUTORS — has no such sharing: each executor is its own
+process with its own Python worker pool.
+
+This tool measures that topology directly: the same strong-scaling step
+(one input, 4× the workers) with the 32 cores split across FOUR
+process-isolated `local[8]` Spark sessions, each owning a disjoint quarter
+of the input files — exactly how a 4-executor cluster partitions a scan.
+
+    N  = 1 × local[8] over all files            (wall time T_N)
+    4N = 4 × local[8], one quarter each, started simultaneously
+         (wall time T_4N = max over workers)
+
+    strong-scaling efficiency = T_N / (4 · T_4N)
+
+The metered work is the round's compute path in isolation (scan → fused
+extract-text+links Arrow UDF → aggregate — measure_extract_stage's
+pipeline), because STAGES.md already isolates that path inside one JVM
+(0.473 at 8→32); if the SAME work scales across process-isolated workers,
+the single-JVM loss is demonstrated to be the artifact, not the engine.
+
+A barrier file aligns the 4 workers' timed regions: each builds its
+session, warms the scan, signals ready, and none starts the clock until
+the orchestrator has seen all four.
+
+Usage:  python tools/bench_multiproc.py            # orchestrate + report
+        (worker mode is internal, via --worker)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORES = 8
+N_WORKERS = 4
+TRIALS = 2
+
+
+def _worker(files: list[str], out: str, ready: str, go: str, trials: int) -> None:
+    import bench
+    from pyspark.sql import functions as F
+
+    from twittercrawler_spark.functions.udfs import udf_extract_text_links
+    from twittercrawler_spark.session import get_spark
+
+    conf = dict(bench.BENCH_CONF)
+    conf["spark.ui.showConsoleProgress"] = "false"
+    spark = get_spark(f"mp_{os.getpid()}", cores=CORES, shuffle_partitions=CORES,
+                      extra_conf=conf)
+    spark.read.parquet(*files).select(F.count("*")).collect()  # warm scan+workers
+    with open(ready, "w") as f:
+        f.write("ok")
+    while not os.path.exists(go):
+        time.sleep(0.05)
+    best = float("inf")
+    for i in range(trials):
+        pages = spark.read.parquet(*files)
+        t0 = time.time()
+        (
+            pages.withColumn("_ex", udf_extract_text_links("html"))
+            .select((F.length("_ex.text") + i).alias("L"))
+            .agg(F.sum("L"))
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    with open(out, "w") as f:
+        json.dump({"sec": best, "n_files": len(files)}, f)
+    spark.stop()
+
+
+def _spawn(files: list[str], out: str, ready: str, go: str) -> subprocess.Popen:
+    env = dict(os.environ, SPARK_DRIVER_MEM="8g")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         "--files", ",".join(files), "--out", out, "--ready", ready, "--go", go],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def _run_level(shards: list[list[str]], tag: str, workdir: str) -> float:
+    """Run len(shards) simultaneous workers; return max timed seconds."""
+    outs, readies = [], []
+    go = os.path.join(workdir, f"go_{tag}")
+    procs = []
+    for i, files in enumerate(shards):
+        out = os.path.join(workdir, f"out_{tag}_{i}.json")
+        ready = os.path.join(workdir, f"ready_{tag}_{i}")
+        outs.append(out)
+        readies.append(ready)
+        procs.append(_spawn(files, out, ready, go))
+    deadline = time.time() + 600
+    while not all(os.path.exists(r) for r in readies):
+        if time.time() > deadline:
+            raise TimeoutError(f"workers never became ready ({tag})")
+        time.sleep(0.1)
+    with open(go, "w") as f:
+        f.write("go")
+    for p in procs:
+        p.wait(timeout=600)
+    times = []
+    for out in outs:
+        with open(out) as f:
+            times.append(json.load(f)["sec"])
+    return max(times)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--files", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--ready", default="")
+    ap.add_argument("--go", default="")
+    args = ap.parse_args()
+    if args.worker:
+        _worker(args.files.split(","), args.out, args.ready, args.go, TRIALS)
+        return
+
+    import glob
+
+    import bench
+
+    corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
+    files = sorted(glob.glob(os.path.join(corpus, "pages.parquet", "*.parquet")))
+    assert len(files) % N_WORKERS == 0, len(files)
+    per = len(files) // N_WORKERS
+    shards = [files[i * per:(i + 1) * per] for i in range(N_WORKERS)]
+
+    workdir = tempfile.mkdtemp(prefix="bench_mp_")
+    t_n = _run_level([files], "n", workdir)           # 1 × local[8], all files
+    t_4n = _run_level(shards, "4n", workdir)          # 4 × local[8], quarters
+    eff = t_n / (N_WORKERS * t_4n)
+    print(json.dumps({
+        "metric": "extract_path_process_isolated_scaling",
+        "t_1x8_all_files_sec": round(t_n, 2),
+        "t_4x8_max_quarter_sec": round(t_4n, 2),
+        "strong_scaling_efficiency_8_to_4x8": round(eff, 3),
+        "n_files": len(files),
+        "workers": N_WORKERS,
+        "cores_per_worker": CORES,
+    }))
+
+
+if __name__ == "__main__":
+    main()

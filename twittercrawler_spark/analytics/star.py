@@ -2208,3 +2208,119 @@ def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.abs(z) > ZSCORE_THRESHOLD)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
+
+
+# Data-profiling report — per-column null/distinct/extrema over the events
+# table in ONE scan (the reference eyeballs DataFrame dumps; a pipeline
+# needs the machine-readable profile before every training run).
+@q(
+    "events_column_profile",
+    """
+    WITH p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(user_id) AS BIGINT) AS null_user,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS d_user,
+             CAST(count(*) - count(event_type) AS BIGINT) AS null_type,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS d_type,
+             CAST(count(*) - count(value) AS BIGINT) AS null_value,
+             CAST(count(DISTINCT value) AS BIGINT) AS d_value,
+             round(min(value), 6) AS min_value,
+             round(max(value), 6) AS max_value
+      FROM events)
+    SELECT col, n_rows, n_null, n_distinct, vmin, vmax FROM (
+      SELECT 'user_id' AS col, n_rows, null_user AS n_null, d_user AS n_distinct,
+             CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax FROM p
+      UNION ALL
+      SELECT 'event_type', n_rows, null_type, d_type, NULL, NULL FROM p
+      UNION ALL
+      SELECT 'value', n_rows, null_value, d_value, min_value, max_value FROM p)
+    """,
+)
+def events_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan column profile: (column, rows, nulls, distincts, extrema).
+
+    Scale shape: all metrics are ONE aggregation over one scan — Spark
+    plans the multi-count(DISTINCT) with Expand + two-phase partial
+    aggregation (each distinct key space shuffled once, map-side combined);
+    the 3-row unpivot is a driver-free selectExpr over the 1-row result.
+    """
+    ev = t(spark, sf, "events")
+    p = ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("user_id")).cast("bigint").alias("null_user"),
+        F.countDistinct("user_id").cast("bigint").alias("d_user"),
+        (F.count("*") - F.count("event_type")).cast("bigint").alias("null_type"),
+        F.countDistinct("event_type").cast("bigint").alias("d_type"),
+        (F.count("*") - F.count("value")).cast("bigint").alias("null_value"),
+        F.countDistinct("value").cast("bigint").alias("d_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = [
+        p.select(
+            F.lit("user_id").alias("col"), "n_rows",
+            F.col("null_user").alias("n_null"),
+            F.col("d_user").alias("n_distinct"),
+            null_d.alias("vmin"), null_d.alias("vmax"),
+        ),
+        p.select(
+            F.lit("event_type").alias("col"), "n_rows",
+            F.col("null_type").alias("n_null"),
+            F.col("d_type").alias("n_distinct"),
+            null_d.alias("vmin"), null_d.alias("vmax"),
+        ),
+        p.select(
+            F.lit("value").alias("col"), "n_rows",
+            F.col("null_value").alias("n_null"),
+            F.col("d_value").alias("n_distinct"),
+            F.col("min_value").alias("vmin"), F.col("max_value").alias("vmax"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# Deterministic weighted sampling without replacement (A-ExpJ / Efraimidis–
+# Spirakis): each doc draws a hash-uniform u and keeps key = ln(u)/w; the
+# K LARGEST keys are a weight-proportional sample — reproducible across
+# engines, partitionings and reruns because u comes from the shared md5
+# hash, not an RNG. The curation move for "sample 10M docs proportional to
+# length" without a shuffle: the top-K is TakeOrderedAndProject (per-task
+# heaps), the only global exchange is K rows.
+WSAMPLE_K = 25
+
+
+@q(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+             round(ln((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) + 0.5) / 4294967296.0)
+                   / n_chars, 6) + 0.0 AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, w, k FROM keyed
+    ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ._util import base_hash32
+
+    d = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        base_hash32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 0.5
+    ) / F.lit(4294967296.0)
+    # + 0.0 collapses IEEE -0.0 to 0.0 (engines format them differently)
+    k = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("w"),
+            k.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
