@@ -140,6 +140,16 @@ def main() -> None:
     per = len(files) // N_WORKERS
     shards = [files[i * per:(i + 1) * per] for i in range(N_WORKERS)]
 
+    # same-run host ceiling: what the box itself gives pure multiprocessing
+    # for 8 -> 32 workers, measured minutes from the Spark numbers so the
+    # comparison isn't against a stale capacity reading
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_scaling
+
+    host_8 = bench_scaling.measure_host_ceiling(8)
+    host_32 = bench_scaling.measure_host_ceiling(32)
+    host_eff = (host_32 / host_8) / 4
+
     workdir = tempfile.mkdtemp(prefix="bench_mp_")
     t_n = _run_level([files], "n", workdir)           # 1 × local[8], all files
     t_4n = _run_level(shards, "4n", workdir)          # 4 × local[8], quarters
@@ -149,6 +159,8 @@ def main() -> None:
         "t_1x8_all_files_sec": round(t_n, 2),
         "t_4x8_max_quarter_sec": round(t_4n, 2),
         "strong_scaling_efficiency_8_to_4x8": round(eff, 3),
+        "host_mp_ceiling_8_to_32": round(host_eff, 3),
+        "engine_vs_host_ceiling": round(eff / host_eff, 3) if host_eff else None,
         "n_files": len(files),
         "workers": N_WORKERS,
         "cores_per_worker": CORES,
