@@ -78,6 +78,7 @@ SUBSET = [
     "embedding_centroid_per_label",
     "events_column_profile",
     "weighted_sample_topk",
+    "chunk_documents",
 ]
 
 

@@ -401,3 +401,76 @@ def pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
             .alias("shard_id"),
         )
     )
+
+
+# Token-window document chunking — long documents split into fixed-size
+# token chunks with overlap (the context-window prep step between curation
+# and shard packing; pack_token_shards then lays the chunks out).
+# Chunk starts step by CHUNK_TOKENS − CHUNK_OVERLAP; the last window is
+# emitted iff it starts inside the doc, so every token lands in ≥1 chunk
+# and short docs yield exactly one chunk.
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@q(
+    "chunk_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CAST(g.i AS BIGINT) AS chunk_no,
+             w[1 + g.i * {_CHUNK_STEP} :
+               least(len(w), g.i * {_CHUNK_STEP} + {CHUNK_TOKENS})] AS cw
+      FROM tok,
+           unnest(generate_series(0,
+             CAST(ceil(greatest(len(w) - {CHUNK_OVERLAP}, 1)
+                       / {_CHUNK_STEP}.0) AS BIGINT) - 1)) AS g(i)
+      WHERE len(w) > 0)
+    SELECT doc_id, chunk_no,
+           CAST(len(cw) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, chunk_no, chunk token count, chunk content hash) per
+    fixed-token window. The hash stands in for the chunk text in the
+    oracle compare (byte-level equality without shipping every chunk).
+
+    Scale shape: pure per-document computation — tokenize once, generate
+    the bounded chunk-start sequence, explode, slice — all codegen'd array
+    expressions, no shuffle at all (the explode fan-out is
+    tokens/STEP ≈ 1.3 rows per 64 input tokens). At 10^10 docs this is a
+    map-only pass, exactly what a chunking stage must be.
+    """
+    d = t_split(spark, sf, "documents")
+    w = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    n_chunks = F.ceil(
+        F.greatest(F.size("w") - CHUNK_OVERLAP, F.lit(1)) / F.lit(float(_CHUNK_STEP))
+    ).cast("bigint")
+    tok = d.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    ch = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_no"),
+        "w",
+    )
+    cw = F.slice(
+        F.col("w"),
+        (F.col("chunk_no") * _CHUNK_STEP + 1).cast("int"),
+        F.least(
+            F.size("w") - (F.col("chunk_no") * _CHUNK_STEP).cast("int"),
+            F.lit(CHUNK_TOKENS),
+        ),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_no",
+        F.size(cw).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", cw).cast("binary")).alias("chunk_hash"),
+    )
