@@ -339,3 +339,57 @@ def test_stream_followon_join_matches_batch_pairs(spark, tmp_path):
     }
     assert expected == {(1, 4), (1, 7), (2, 8), (3, 9)}  # fixture sanity
     assert got == expected
+
+
+def test_stream_dedup_survives_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart exactly-once: drain a backlog, STOP the query, add
+    late files (duplicating pre-stop content), start a NEW query on the
+    same checkpoint. The durable sink must hold exactly one survivor per
+    distinct content across both invocations — pre-stop hashes stay
+    deduplicated after the restart (state recovered from checkpoint) and
+    pre-stop files are not re-emitted (source progress recovered)."""
+    from twittercrawler_spark.streaming.windows import stream_dedup_to_files
+
+    flat = tmp_path / "docs"
+    flat.mkdir()
+
+    def put(i, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{i}"))
+        import glob
+        import shutil
+
+        for j, part in enumerate(
+            glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))
+        ):
+            shutil.copy(part, flat / f"part-{i}-{j}.parquet")
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    put(0, [(1, "alpha"), (2, "beta")])
+    put(1, [(3, "alpha"), (4, "gamma")])
+    q1 = stream_dedup_to_files(spark, str(flat), ck, out)
+    drain(q1)
+    phase1 = {r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert set(phase1) == {"alpha", "beta", "gamma"}
+
+    # late arrivals: dups of phase-1 content plus genuinely new content
+    put(2, [(5, "beta"), (6, "delta")])
+    put(3, [(7, "alpha"), (8, "delta")])
+    q2 = stream_dedup_to_files(spark, str(flat), ck, out)
+    drain(q2)
+    rows = spark.read.parquet(out).collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    # exactly one survivor per distinct content across the restart
+    assert {t: len(v) for t, v in by_text.items()} == {
+        "alpha": 1, "beta": 1, "gamma": 1, "delta": 1,
+    }
+    # pre-stop survivors unchanged (no re-emission of old files)
+    assert by_text["alpha"] == [phase1["alpha"]]
+    assert by_text["beta"] == [phase1["beta"]]
+    assert by_text["gamma"] == [phase1["gamma"]]
+    assert by_text["delta"][0] in (6, 8)

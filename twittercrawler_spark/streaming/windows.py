@@ -383,3 +383,33 @@ def stream_followon_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_to_files(
+    spark: SparkSession, docs_dir: str, checkpoint_dir: str, out_dir: str
+):
+    """:func:`stream_dedup_exact` with a durable parquet sink — the form a
+    restartable production run uses. The memory-sink variant cannot prove
+    restart semantics (its table dies with the query); this one can: the
+    dedup state (one row per distinct content hash) and the source progress
+    both live in the checkpoint, so a NEW invocation with the same
+    checkpoint resumes exactly — already-processed files are not re-read,
+    and content whose hash was seen before the stop is still dropped after
+    it. That is the streaming twin of the crawl warehouse's
+    committed-round resume (sources/tables.py)."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .withColumn("hh", F.md5("text"))
+        .dropDuplicates(["hh"])
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
