@@ -170,3 +170,25 @@ def test_classify_scorer_skips_null_text():
     )
     got = pd.concat(out)
     assert list(got["doc_id"]) == [1]
+
+
+def test_anomaly_zscore_survives_zero_variance_group(spark, tmp_path):
+    """A single-occurrence (or all-equal-value) event_type has zero
+    variance; the z expression must yield NULL-and-filtered for that group
+    (the oracle's 0/0 → NULL semantics), never an ANSI divide-by-zero
+    crash."""
+    import datetime as dt
+
+    from twittercrawler_spark.analytics.star import anomaly_zscore_events
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "solo", 5.0, "{}"),      # n=1 group
+        (2, dt.datetime(2024, 1, 1), 1, "flat", 2.0, "{}"),      # zero-var
+        (3, dt.datetime(2024, 1, 1), 2, "flat", 2.0, "{}"),
+        (4, dt.datetime(2024, 1, 1), 1, "mix", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1), 2, "mix", 100.0, "{}"),
+    ]
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    spark.createDataFrame(rows, cols).write.parquet(str(tmp_path / "events.parquet"))
+    out = anomaly_zscore_events(spark, str(tmp_path)).collect()  # must not raise
+    assert {r["event_type"] for r in out} <= {"mix"}

@@ -106,6 +106,7 @@ def test_robots_gating(crawl_outputs, corpus_dir):
 
     for r in sim.fetch_log:
         for host, prefix in robots:
-            if host_of(r["url"]) == host:
+            # crawl-delay-only robots rows carry a NULL prefix: no gate
+            if prefix is not None and host_of(r["url"]) == host:
                 assert not _path_of(r["url"]).startswith(prefix)
     # engine equals sim already (order parity), so sim-side check covers both

@@ -115,13 +115,16 @@ def test_topk_queries_plan_take_ordered(spark):
         assert "Window" not in plan, name
 
 
-def test_inverted_index_two_level_no_flat_window(spark):
-    """The posting-list build must be the two-level salt decomposition:
-    no per-term WindowExec (a stopword's postings would funnel one task)
-    and no cartesian anywhere."""
+def test_inverted_index_bounded_two_level(spark):
+    """The posting-list build must be the bounded two-level shape: the
+    rank window is PARTITIONED by (term, salt) — never a partition-less
+    window, never a per-term one (a stopword would funnel one task) — and
+    no cartesian anywhere. The salt key in the windowspec is the pin."""
     plan = plan_of(spark, "inverted_index")
-    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(term" in plan and "salt" in plan.split(
+        "windowspecdefinition(term", 1
+    )[1][:80]
 
 
 def test_sf_scaled_tables_carry_no_broadcast_hint(spark):

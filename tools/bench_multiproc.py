@@ -47,10 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORES = 8
 N_WORKERS = 4
-TRIALS = 2
 
 
-def _worker(files: list[str], out: str, ready: str, go: str, trials: int) -> None:
+def _worker(files: list[str], out: str, ready: str, go: str) -> None:
     import bench
     from pyspark.sql import functions as F
 
@@ -61,49 +60,70 @@ def _worker(files: list[str], out: str, ready: str, go: str, trials: int) -> Non
     conf["spark.ui.showConsoleProgress"] = "false"
     spark = get_spark(f"mp_{os.getpid()}", cores=CORES, shuffle_partitions=CORES,
                       extra_conf=conf)
-    spark.read.parquet(*files).select(F.count("*")).collect()  # warm scan+workers
+
+    def metered(tag: int):
+        pages = spark.read.parquet(*files)
+        return (
+            pages.withColumn("_ex", udf_extract_text_links("html"))
+            .select((F.length("_ex.text") + tag).alias("L"))
+            .agg(F.sum("L"))
+            .collect()
+        )
+
+    # REAL warm-up: the full metered pipeline once, unmeasured — this
+    # starts the Python UDF workers and pulls the html column through the
+    # page cache. A count(*)-style warm would prune to footers only and
+    # leave both cold, so the first (barrier-aligned) timed run would pay
+    # startup costs and the reported number would not be steady-state.
+    metered(1)
     with open(ready, "w") as f:
         f.write("ok")
     while not os.path.exists(go):
         time.sleep(0.05)
-    best = float("inf")
-    for i in range(trials):
-        pages = spark.read.parquet(*files)
-        t0 = time.time()
-        (
-            pages.withColumn("_ex", udf_extract_text_links("html"))
-            .select((F.length("_ex.text") + i).alias("L"))
-            .agg(F.sum("L"))
-            .collect()
-        )
-        best = min(best, time.time() - t0)
+    # ONE timed trial, and it is the barrier-aligned one: all workers start
+    # together, so the max-over-workers wall time reflects real 4-way
+    # steady-state contention (an un-aligned best-of-N would let fast
+    # workers finish first and hand the straggler an idle box).
+    t0 = time.time()
+    metered(0)
+    sec = time.time() - t0
     with open(out, "w") as f:
-        json.dump({"sec": best, "n_files": len(files)}, f)
+        json.dump({"sec": sec, "n_files": len(files)}, f)
     spark.stop()
 
 
-def _spawn(files: list[str], out: str, ready: str, go: str) -> subprocess.Popen:
+def _spawn(files: list[str], out: str, ready: str, go: str,
+           errlog: str) -> subprocess.Popen:
     env = dict(os.environ, SPARK_DRIVER_MEM="8g")
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker",
          "--files", ",".join(files), "--out", out, "--ready", ready, "--go", go],
-        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=env, stdout=subprocess.DEVNULL, stderr=open(errlog, "w"),
     )
 
 
 def _run_level(shards: list[list[str]], tag: str, workdir: str) -> float:
     """Run len(shards) simultaneous workers; return max timed seconds."""
-    outs, readies = [], []
+    outs, readies, errlogs = [], [], []
     go = os.path.join(workdir, f"go_{tag}")
     procs = []
     for i, files in enumerate(shards):
         out = os.path.join(workdir, f"out_{tag}_{i}.json")
         ready = os.path.join(workdir, f"ready_{tag}_{i}")
+        errlog = os.path.join(workdir, f"err_{tag}_{i}.log")
         outs.append(out)
         readies.append(ready)
-        procs.append(_spawn(files, out, ready, go))
+        errlogs.append(errlog)
+        procs.append(_spawn(files, out, ready, go, errlog))
     deadline = time.time() + 600
     while not all(os.path.exists(r) for r in readies):
+        for i, p in enumerate(procs):
+            if p.poll() is not None and not os.path.exists(readies[i]):
+                with open(errlogs[i]) as f:
+                    tail = f.read()[-2000:]
+                raise RuntimeError(
+                    f"worker {i} ({tag}) died rc={p.returncode} before ready:\n{tail}"
+                )
         if time.time() > deadline:
             raise TimeoutError(f"workers never became ready ({tag})")
         time.sleep(0.1)
@@ -127,7 +147,7 @@ def main() -> None:
     ap.add_argument("--go", default="")
     args = ap.parse_args()
     if args.worker:
-        _worker(args.files.split(","), args.out, args.ready, args.go, TRIALS)
+        _worker(args.files.split(","), args.out, args.ready, args.go)
         return
 
     import glob

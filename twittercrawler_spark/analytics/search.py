@@ -134,13 +134,17 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Inverted index with bounded posting lists — term → (df, first-K postings
-# by doc_id). The build is TWO-LEVEL on a doc_id salt: per-(term, salt)
-# partial min-K arrays first, then a flatten+re-slice per term over at most
-# POST_SALTS bounded arrays. A flat `collect_list` per term would funnel a
-# stopword's entire posting set (≈ the whole corpus at 10^10 docs) through
-# one task; here no task ever holds more than POST_SALTS × POST_K ids per
-# term, while df stays exact via the per-salt counts. Same decomposition as
-# the crawl scheduler's two-phase per-host top-k (frontier/scheduler.py).
+# by doc_id). The build is TWO-LEVEL on a doc_id salt, and — critically —
+# NO aggregation buffer is ever unbounded: per-(term, salt) the min-K ids
+# are taken with a rank window FIRST (WindowExec streams a sorted,
+# spillable run; it never materializes the group), so the level-1
+# collect_list sees at most POST_K rows per group, and level 2 flattens at
+# most POST_SALTS arrays of POST_K. A flat `collect_list` per (term, salt)
+# would still buffer a stopword's ~n/POST_SALTS posting subset in ONE
+# aggregation buffer at the 10^10-doc design point — the exact OOM the
+# two-phase shape exists to prevent. df stays exact via per-(term, salt)
+# counts on the same shuffle key. Same decomposition as the crawl
+# scheduler's two-phase per-host top-k (frontier/scheduler.py).
 POST_K = 20
 POST_SALTS = 64
 
@@ -165,13 +169,19 @@ POST_SALTS = 64
 def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     docs = t_split(spark, sf, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = docs.select("doc_id", F.explode(toks).alias("tk")).distinct()
-    lvl1 = tok.groupBy(
-        F.col("tk").alias("term"), F.pmod("doc_id", F.lit(POST_SALTS)).alias("salt")
-    ).agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, POST_K).alias("arr"),
+    tok = docs.select("doc_id", F.explode(toks).alias("tk")).distinct().select(
+        F.col("tk").alias("term"),
+        F.pmod("doc_id", F.lit(POST_SALTS)).alias("salt"),
+        "doc_id",
     )
+    counts = tok.groupBy("term", "salt").agg(F.count("*").cast("bigint").alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("term", "salt").orderBy("doc_id")
+    )
+    topk = tok.withColumn("rn", rn).filter(F.col("rn") <= POST_K)
+    lvl1 = topk.groupBy("term", "salt").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("arr")  # ≤ POST_K rows
+    ).join(counts, ["term", "salt"])
     return lvl1.groupBy("term").agg(
         F.sum("n").cast("bigint").alias("df"),
         F.concat_ws(

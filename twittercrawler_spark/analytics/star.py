@@ -2177,12 +2177,13 @@ ZSCORE_THRESHOLD = 3.0
              CAST(sum(CAST(value AS DECIMAL(12,2)) *
                       CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
       FROM events GROUP BY 1)
-    SELECT event_id, e.event_type, value,
-           round((value - s1 / n) /
-                 sqrt((s2 - s1 * s1 / n) / n), 6) AS z
-    FROM events e JOIN stats USING (event_type)
-    WHERE abs((value - s1 / n) /
-              sqrt((s2 - s1 * s1 / n) / n)) > {ZSCORE_THRESHOLD}
+    SELECT event_id, event_type, value, z FROM (
+      SELECT event_id, e.event_type AS event_type, value,
+             CASE WHEN sqrt((s2 - s1 * s1 / n) / n) > 0
+                  THEN round((value - s1 / n) /
+                             sqrt((s2 - s1 * s1 / n) / n), 6) END AS z
+      FROM events e JOIN stats USING (event_type)) t
+    WHERE abs(z) > {ZSCORE_THRESHOLD}
     """,
 )
 def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -2202,11 +2203,13 @@ def anomaly_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))
-    z = (F.col("value") - mean) / std
+    # std == 0 (degenerate group) must yield NULL-and-filtered, not an ANSI
+    # divide-by-zero crash — mirrors the oracle's NULL division semantics
+    z = F.when(std > 0, F.round((F.col("value") - mean) / std, 6))
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > ZSCORE_THRESHOLD)
-        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > ZSCORE_THRESHOLD)
     )
 
 
@@ -2298,12 +2301,12 @@ WSAMPLE_K = 25
     f"""
     WITH keyed AS (
       SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
-             round(ln((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                            AS BIGINT) + 0.5) / 4294967296.0)
-                   / n_chars, 6) + 0.0 AS k
+             ln((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 0.5) / 4294967296.0)
+               / n_chars AS k_raw
       FROM documents WHERE n_chars > 0)
-    SELECT doc_id, w, k FROM keyed
-    ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+    SELECT doc_id, w, round(k_raw, 6) + 0.0 AS k FROM keyed
+    ORDER BY k_raw DESC, doc_id LIMIT {WSAMPLE_K}
     """,
 )
 def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2313,14 +2316,19 @@ def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     u = (
         base_hash32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 0.5
     ) / F.lit(4294967296.0)
+    # ordered at FULL double precision (identical bits in both engines);
+    # rounding only the DISPLAYED key — a rounded sort key would collapse
+    # long documents' keys into doc_id-ordered ties, silently destroying
+    # weight-proportionality for exactly the docs the sample targets.
     # + 0.0 collapses IEEE -0.0 to 0.0 (engines format them differently)
-    k = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
+    k_raw = F.log(u) / F.col("n_chars")
     return (
         d.select(
             "doc_id",
             F.col("n_chars").cast("double").alias("w"),
-            k.alias("k"),
+            k_raw.alias("k_raw"),
         )
-        .orderBy(F.col("k").desc(), "doc_id")
+        .orderBy(F.col("k_raw").desc(), "doc_id")
         .limit(WSAMPLE_K)
+        .select("doc_id", "w", (F.round("k_raw", 6) + F.lit(0.0)).alias("k"))
     )

@@ -192,8 +192,26 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     )
     gated = gated.localCheckpoint(eager=False)
 
-    # politeness selection + deterministic global fetch order
-    selected = select_per_host_topk(gated, cfg.per_host_per_round, cfg.salt_sub_buckets)
+    # politeness selection + deterministic global fetch order; robots
+    # crawl-delay (when enabled) tightens per-host budgets below the flat
+    # quota via a dimension-sized broadcast (quota = floor(round_s/delay))
+    quotas = None
+    if cfg.round_seconds > 0 and "crawl_delay" in robots.columns:
+        quotas = (
+            robots.filter(F.col("crawl_delay") > 0)
+            .groupBy("host")
+            .agg(F.max("crawl_delay").alias("_d"))
+            .select(
+                "host",
+                F.least(
+                    F.lit(cfg.per_host_per_round),
+                    F.floor(F.lit(cfg.round_seconds) / F.col("_d")),
+                ).cast("int").alias("_quota"),
+            )
+        )
+    selected = select_per_host_topk(
+        gated, cfg.per_host_per_round, cfg.salt_sub_buckets, quotas
+    )
     selected = with_global_sequence(selected, seq_start)
     # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
     # checkpoint once; its count arrives with the end-of-round metrics job

@@ -32,8 +32,22 @@ def order_cols() -> list[Column]:
     return [F.col("priority").desc(), F.col("url_hash").asc(), F.col("url").asc()]
 
 
-def select_per_host_topk(candidates: DataFrame, k: int, salt_sub_buckets: int = 8) -> DataFrame:
-    """Per-host top-k under the politeness budget; exact, skew-resistant."""
+def select_per_host_topk(
+    candidates: DataFrame,
+    k: int,
+    salt_sub_buckets: int = 8,
+    quotas: DataFrame | None = None,
+) -> DataFrame:
+    """Per-host top-k under the politeness budget; exact, skew-resistant.
+
+    ``quotas`` (host, _quota) — dimension-sized, broadcast — tightens the
+    budget per host below ``k`` (robots crawl-delay: quota = floor(round
+    seconds / delay)). Hosts absent from it keep ``k``; phase 1 prunes with
+    ``k`` (the maximum any host may take), so the variable budget changes
+    WHICH ranks survive, never the two-phase shape. A 0 quota starves the
+    host for the round — its urls stay pending, exactly the reference's
+    sleep-to-budget semantics when the budget is smaller than one fetch.
+    """
     sub = F.pmod(F.col("url_hash"), F.lit(salt_sub_buckets))
     w1 = Window.partitionBy("host", sub).orderBy(*order_cols())
     phase1 = (
@@ -42,9 +56,13 @@ def select_per_host_topk(candidates: DataFrame, k: int, salt_sub_buckets: int = 
         .drop("_rn1")
     )
     w2 = Window.partitionBy("host").orderBy(*order_cols())
+    ranked = phase1.withColumn("host_rank", F.row_number().over(w2))
+    if quotas is None:
+        return ranked.filter(F.col("host_rank") <= k)
     return (
-        phase1.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= k)
+        ranked.join(F.broadcast(quotas), "host", "left")
+        .filter(F.col("host_rank") <= F.coalesce(F.col("_quota"), F.lit(k)))
+        .drop("_quota")
     )
 
 

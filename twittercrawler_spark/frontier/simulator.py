@@ -38,6 +38,10 @@ class CrawlConfig:
     priority_decay: float = 0.8
     num_buckets: int = 32
     salt_sub_buckets: int = 8
+    # > 0 enables robots crawl-delay politeness: a host with delay d may
+    # fetch at most floor(round_seconds / d) urls per round (capped by
+    # per_host_per_round); 0 keeps the flat per-host quota
+    round_seconds: int = 0
 
 
 @dataclass
@@ -61,11 +65,21 @@ def simulate(
     seeds: list[tuple[str, float]],  # raw url, priority (fixed order)
     robots: list[tuple[str, str]],  # host, disallow_prefix
     cfg: CrawlConfig,
+    delays: dict[str, int] | None = None,  # host -> robots crawl-delay (s)
 ) -> SimResult:
     res = SimResult()
     disallow: dict[str, list[str]] = {}
     for host, prefix in robots:
-        disallow.setdefault(host, []).append(prefix)
+        if prefix is not None:
+            disallow.setdefault(host, []).append(prefix)
+
+    def host_quota(host: str) -> int:
+        if cfg.round_seconds <= 0 or not delays:
+            return cfg.per_host_per_round
+        d = delays.get(host, 0)
+        if d is None or d <= 0:
+            return cfg.per_host_per_round
+        return min(cfg.per_host_per_round, cfg.round_seconds // d)
 
     # seed the frontier
     for raw, prio in seeds:
@@ -102,7 +116,7 @@ def simulate(
                 by_host[host],
                 key=lambda u: (-res.pending[u][0], url_hash64(u), u),
             )
-            for u in urls[: cfg.per_host_per_round]:
+            for u in urls[: host_quota(host)]:
                 selected.append((host, u))
 
         # fetch + extract + expand

@@ -9,7 +9,7 @@ Shape matches BASELINE.json input_hint:
     pages(url string, warc_ts timestamp, html binary, text string, lang string)
 plus engine fixtures:
     seeds(url string, priority double)  — fixed order
-    robots(host string, disallow_prefix string)
+    robots(host string, disallow_prefix string, crawl_delay int)
 
 Skew: host index 0 ("hot.example.com") owns ~50% of pages; the rest follow a
 Zipf(1.2)-ish tail (FIXTURES.md: exercises salting). URLs are deliberately
@@ -188,15 +188,27 @@ def generate_corpus(
     )
 
     # robots: every 7th host disallows the /p/1 prefix (so /p/1, /p/1x,
-    # /p/1xx... are gated — a real prefix rule, not an exact match)
-    r_hosts, r_prefixes = [], []
+    # /p/1xx... are gated — a real prefix rule, not an exact match), and
+    # the hot host plus every 5th host declare a crawl-delay (the delay
+    # rows carry a NULL prefix: startswith(NULL) is NULL, so they never
+    # gate; the prefix rows carry a NULL delay)
+    r_hosts, r_prefixes, r_delays = [], [], []
     for h in range(n_hosts):
         if h % 7 == 3:
             r_hosts.append(_host_name(h))
             r_prefixes.append("/p/1")
+            r_delays.append(None)
+        if h == 0 or h % 5 == 2:
+            r_hosts.append(_host_name(h))
+            r_prefixes.append(None)
+            r_delays.append(2 + (h % 3))
     robots_path = os.path.join(out_dir, "robots.parquet")
     pq.write_table(
-        pa.table({"host": pa.array(r_hosts, pa.string()), "disallow_prefix": pa.array(r_prefixes, pa.string())}),
+        pa.table({
+            "host": pa.array(r_hosts, pa.string()),
+            "disallow_prefix": pa.array(r_prefixes, pa.string()),
+            "crawl_delay": pa.array(r_delays, pa.int32()),
+        }),
         robots_path,
     )
     return {"pages": pages_path, "seeds": seeds_path, "robots": robots_path}
