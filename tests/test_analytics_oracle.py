@@ -79,6 +79,7 @@ SUBSET = [
     "events_column_profile",
     "weighted_sample_topk",
     "chunk_documents",
+    "group_sample_exact_k",
 ]
 
 

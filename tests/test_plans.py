@@ -109,7 +109,7 @@ def test_topk_queries_plan_take_ordered(spark):
     # every global top-k in the suite must be TakeOrderedAndProject, never a
     # partition-less window over the full input
     for name in ["shipping_priority_top10", "top_ngrams", "returned_item_top20",
-                 "bm25_search"]:
+                 "bm25_search", "pmi_bigrams", "weighted_sample_topk"]:
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "Window" not in plan, name
@@ -238,3 +238,15 @@ def test_global_scalar_thresholds_broadcast(spark):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must be a pure map pass: tokenize, sequence, explode,
+    slice — no KEYED shuffle anywhere (at 10^10 docs a hash exchange here
+    would be the whole job's cost for an embarrassingly parallel stage).
+    The only exchange allowed is t_split's round-robin re-split of the
+    one-row-group test file, which disappears at production file counts."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

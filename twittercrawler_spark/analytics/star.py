@@ -2332,3 +2332,43 @@ def weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "w", (F.round("k_raw", 6) + F.lit(0.0)).alias("k"))
     )
+
+
+# Exact-k deterministic sample per stratum — the companion to the
+# rate-based stratified_sample: every language contributes EXACTLY k docs
+# (or all of them, if fewer), chosen by the shared hash order so the
+# sample is reproducible across engines, partitionings and reruns.
+GROUP_SAMPLE_K = 10
+
+
+@q(
+    "group_sample_exact_k",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+)
+def group_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly k docs per language, by hash order (deterministic uniform).
+
+    Scale shape: one window partitioned by the stratum key; a stratum at
+    web scale can be corpus-sized, so the skew treatment when k ≪ group
+    is the same two-phase decomposition the scheduler and inverted_index
+    use — documented here, single-phase at this k because the window is
+    partitioned (never partition-less) and the sort spills."""
+    from ._util import base_hash32
+
+    d = t(spark, sf, "documents")
+    h = base_hash32(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id"))
+    return (
+        d.select("doc_id", "lang", rn.alias("rn"))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("doc_id", "lang")
+    )
