@@ -80,6 +80,11 @@ SUBSET = [
     "weighted_sample_topk",
     "chunk_documents",
     "group_sample_exact_k",
+    "acctbal_nation_intersect",
+    "order_price_quartiles",
+    "distinct_users_per_type",
+    "domain_mixing_weights",
+    "rare_token_ratio",
 ]
 
 

@@ -250,3 +250,41 @@ def test_chunk_documents_is_map_only(spark):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_count_distinct_no_expand(spark):
+    """distinct_users_per_type is hand-written two-phase: pair-distinct
+    then count. The plan must show the composite-key aggregation (two
+    agg pairs) and — unlike count(DISTINCT) — no Expand node, so the
+    shuffle keys on the well-spread (event_type, user_id) pair, never
+    funneling a hot event_type through one reducer."""
+    plan = plan_of(spark, "distinct_users_per_type")
+    assert plan.count("HashAggregate") >= 3
+    assert "Expand" not in plan
+
+
+def test_rare_token_ratio_equi_join_only(spark):
+    """The freq join must be a keyed equi-join (skew handled by AQE split),
+    never a nested-loop/cartesian; both aggregations partial+final."""
+    plan = plan_of(spark, "rare_token_ratio")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_order_price_quartiles_partitioned_window(spark):
+    """The ntile window must be partitioned (by o_orderpriority) — a
+    partition-less global window would serialize the whole table through
+    one task at scale."""
+    plan = plan_of(spark, "order_price_quartiles")
+    assert "Window" in plan
+    assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_mixing_weights_scalar_broadcast(spark):
+    """The 1-row corpus-total side joins by broadcast (scalar-stats
+    pattern); token arrays never shuffle — the only exchanges key on
+    source or are the scalar broadcast."""
+    plan = plan_of(spark, "domain_mixing_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -474,3 +474,52 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.size(cw).cast("bigint").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", cw).cast("binary")).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing weights — per-source token shares vs a uniform target mixture.
+# The per-source resampling-weight computation a pretraining pipeline runs
+# before shard packing: sources whose token share is below target get
+# weight > 1 (upsample), over-represented sources get weight < 1. The
+# reference's per-query result partitioning (one gz dump per search term,
+# Crawler.py:127-146) is the analogous per-source bookkeeping step.
+@q(
+    "domain_mixing_weights",
+    f"""
+    WITH tk AS (
+      SELECT source,
+             CAST(sum(len({_TOK_SQL})) AS BIGINT) AS toks
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(toks) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS nsrc FROM tk)
+    SELECT source, toks,
+           round(toks / total, 6) AS share,
+           round((1.0 / nsrc) / (toks / total), 6) AS weight
+    FROM tk, tot
+    """,
+)
+def domain_mixing_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token count, corpus share, and uniform-target mix weight.
+
+    Scale shape: token counting is a map-side projection (size of the
+    split array — the token ARRAYS never shuffle, only per-doc counts);
+    one partial+final agg to source grain; the corpus totals are a
+    1-row aggregate joined back by broadcast — the sanctioned
+    scalar-stats pattern (see bm25_search's plan pin)."""
+    d = t_split(spark, sf, "documents")
+    per_src = (
+        d.select("source", F.size(_tokens_col()).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("toks"))
+    )
+    tot = per_src.agg(
+        F.sum("toks").cast("double").alias("total"),
+        F.count("*").cast("double").alias("nsrc"),
+    )
+    share = F.col("toks") / F.col("total")
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.round(share, 6).alias("share"),
+        F.round((1.0 / F.col("nsrc")) / share, 6).alias("weight"),
+    )

@@ -2372,3 +2372,108 @@ def group_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set-ops completion — INTERSECT (the reference composes member lists
+# with Python set intersection when cross-referencing id dictionaries,
+# GenerateUserUseridDict.py:44-58; union and EXCEPT live above). DataFrame
+# .intersect IS SQL's INTERSECT DISTINCT (plans as distinct + left-semi),
+# mirroring the subtract/EXCEPT note at customers_never_active.
+@q(
+    "acctbal_nation_intersect",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+    FROM customer WHERE c_acctbal > 7500
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_acctbal > 7500
+    """,
+)
+def acctbal_nation_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Nations that have BOTH a rich customer and a rich supplier.
+
+    Scale shape: both sides filter at the scan (predicate pushdown), then
+    one shuffle each on the single projected key; intersect's left-semi
+    join runs on key-only relations — no wide rows move."""
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 7500)
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 7500)
+        .select(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# W-series completion — NTILE quantile bucketing (the reference buckets
+# users into engagement quartiles by sorted position, Functions.py age/
+# interval bucketing generalized to rank-relative buckets). ntile(4) over a
+# TOTAL order (price, then unique orderkey) is engine-deterministic: both
+# Spark and DuckDB implement SQL-standard ntile (first n_rows % k buckets
+# take the extra row), so identical orders give identical buckets.
+@q(
+    "order_price_quartiles",
+    """
+    WITH x AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT o_orderpriority, quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM x GROUP BY 1, 2
+    """,
+)
+def order_price_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority price quartile boundaries (n, lo, hi per bucket).
+
+    Scale shape: the window partitions by o_orderpriority (bounded
+    cardinality but large groups at SF — the sort within each partition
+    spills to disk rather than OOM); the follow-on groupBy is partial+final
+    hash agg on (priority, quartile), 20 output rows."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe COUNT(DISTINCT) — per-type distinct users, written as the
+# explicit two-phase shape (distinct on the PAIR, then count per group).
+# Rationale: count(DISTINCT x) defeats map-side combine — every raw
+# (group, x) row must reach the group's reducer, so one hot group (a viral
+# event_type at web scale) serializes on a single task. Phase 1 shuffles on
+# the well-spread COMPOSITE key (event_type, user_id) — hot groups fan out
+# across the cluster — and phase 2 counts pair-rows, which partial-aggs
+# map-side. Same trick as the scheduler's two-level offsets and
+# inverted_index's salt, using the natural composite key as the salt.
+@q(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

@@ -514,3 +514,65 @@ def pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token ratio — the fraction of a document's (BPE-ish) tokens whose
+# whole-corpus frequency is <= RARE_CF_MAX: a standard quality/noise signal
+# (gibberish, OCR damage, and boilerplate-free spam skew heavily toward
+# corpus-rare tokens). Complements quality_score's doc-local ratios with a
+# corpus-global signal.
+RARE_CF_MAX = 2
+
+
+@q(
+    "rare_token_ratio",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS tk
+      FROM documents),
+    dt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    freq AS (SELECT tk, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY 1)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cf <= {RARE_CF_MAX} THEN c ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           round(CAST(sum(CASE WHEN cf <= {RARE_CF_MAX} THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6) AS rare_ratio
+    FROM dt JOIN freq USING (tk)
+    GROUP BY 1
+    """,
+)
+def rare_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token count, rare-token count, and rare ratio.
+
+    Scale shape: tokens collapse to (doc_id, token, count) grain BEFORE
+    anything shuffles (partial+final hash agg), so the token-keyed join
+    back to the global frequency table moves one row per DISTINCT token
+    per doc, not one per occurrence. Head tokens ("the") still key-skew
+    that join — one row per document on a single key — which is exactly
+    what AQE's skew-join split (on in the session) handles by splitting
+    the hot key's partitions; the frequency side is 1 row per key, so
+    replicating it across splits is free. Docs with zero tokens drop out
+    (inner join) in both engines by construction."""
+    d = t_split(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0)
+        ).alias("tk"),
+    )
+    dt = tok.groupBy("doc_id", "tk").agg(F.count("*").cast("bigint").alias("c"))
+    freq = dt.groupBy("tk").agg(F.sum("c").cast("bigint").alias("cf"))
+    rare_c = F.when(F.col("cf") <= RARE_CF_MAX, F.col("c")).otherwise(F.lit(0))
+    return (
+        dt.join(freq, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(rare_c).cast("bigint").alias("n_rare"),
+            F.round(
+                F.sum(rare_c).cast("double") / F.sum("c"), 6
+            ).alias("rare_ratio"),
+        )
+    )
