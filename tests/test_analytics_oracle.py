@@ -85,6 +85,9 @@ SUBSET = [
     "distinct_users_per_type",
     "domain_mixing_weights",
     "rare_token_ratio",
+    "unigram_surprisal",
+    "grouping_sets_revenue",
+    "part_name_fuzzy_match",
 ]
 
 

@@ -288,3 +288,34 @@ def test_mixing_weights_scalar_broadcast(spark):
     plan = plan_of(spark, "domain_mixing_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS ((region),(nation)) must plan as ONE Expand + hash
+    agg over a single pass of the join — not two separate scans/shuffles
+    of the orders fact."""
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    # one scan of the orders fact, not one per grouping set
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 4
+
+
+def test_fuzzy_match_broadcasts_literal_dim(spark):
+    """The edit-distance theta join must broadcast the fixed-cardinality
+    catalog (sanctioned literal-dim BNLJ, like knn's query side) — never
+    a shuffle or a cartesian over the part side."""
+    plan = plan_of(spark, "part_name_fuzzy_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(p_name" not in plan
+
+
+def test_unigram_surprisal_integer_exact_shape(spark):
+    """Token rows collapse to (doc, token, count) grain before the
+    vocabulary join (partial+final aggs); the corpus total attaches as
+    the 1-row scalar broadcast; the model join is a keyed equi-join."""
+    plan = plan_of(spark, "unigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -2477,3 +2477,104 @@ def distinct_users_per_type(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the selective grouping-set list ((region), (nation))
+# that neither ROLLUP (hierarchical prefixes) nor CUBE (every subset) can
+# express without computing unwanted sets: two independent one-dimension
+# summaries in ONE pass over the join. Catalyst plans it as a single
+# Expand + hash agg — one scan, one shuffle — where two separate GROUP BYs
+# would scan and shuffle twice. The `grouping()` marker (SQL-standard,
+# identical in DuckDB) disambiguates a genuine NULL dimension value from
+# the aggregate row.
+@q(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(grouping(r_name) AS BIGINT) AS g_region,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")  # SF-scaled: AQE decides the join side
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        j.groupingSets([["r_name"], ["n_name"]], "r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "g_region",
+            "g_nation",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-match join — edit-distance (Levenshtein) matching of a
+# small query catalog against part names: the standard entity-resolution /
+# near-identical-title matching step (the reference's keyword matching,
+# Functions.py contains(), generalized from exact substring to bounded
+# edit distance). Both engines implement classic Levenshtein, so the
+# distance — and therefore the match set — is integer-exact.
+_FUZZY_NAMES = ("red widgit", "blu bolt", "small gearr", "hot gizmmo")
+_FUZZY_MAX_DIST = 2
+
+
+@q(
+    "part_name_fuzzy_match",
+    f"""
+    WITH qd AS (SELECT unnest({list(_FUZZY_NAMES)!r}::VARCHAR[]) AS qname)
+    SELECT qname, p_partkey, p_name,
+           CAST(levenshtein(p_name, qname) AS BIGINT) AS dist
+    FROM part JOIN qd ON levenshtein(p_name, qname) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def part_name_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts whose names are within edit distance 2 of a catalog entry.
+
+    Scale shape: the catalog is a literal dimension (broadcast by
+    construction) and the predicate is non-equi, so the plan is the
+    sanctioned broadcast nested-loop against a FIXED-cardinality side —
+    cost is |part| x |catalog| distance evaluations, embarrassingly
+    parallel over part splits, no shuffle. At a real 10^4+-entry catalog
+    the composition switches to a length-bucketed / n-gram-prefilter
+    equi-join (the dedup_ngram_jaccard shape) — the literal-dim BNLJ is
+    only sanctioned because the catalog is dimension-sized."""
+    p = t(spark, sf, "part")
+    qd = F.broadcast(
+        spark.createDataFrame([(x,) for x in _FUZZY_NAMES], "qname string")
+    )
+    d = F.levenshtein(F.col("p_name"), F.col("qname"))
+    return (
+        p.join(qd, d <= _FUZZY_MAX_DIST)
+        .select(
+            "qname",
+            "p_partkey",
+            "p_name",
+            d.cast("bigint").alias("dist"),
+        )
+    )

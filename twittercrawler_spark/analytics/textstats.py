@@ -576,3 +576,76 @@ def rare_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal — mean per-token negative log-probability of each
+# document under the corpus's own unigram model (MLE, no smoothing needed:
+# every scored token is in the vocabulary by construction). The standard
+# LM-based quality/novelty signal a pretraining pipeline runs right after
+# rare_token_ratio: boilerplate scores low (head tokens), gibberish scores
+# high. Cross-engine determinism: ln() runs over EXACT BIGINT counts and is
+# quantized to integer micro-nats at the DISTINCT-token grain, so the
+# order-dependent per-doc aggregation is exact integer math in both engines
+# — the only float surface is one round() per vocabulary entry.
+@q(
+    "unigram_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS tk
+      FROM documents),
+    dt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    freq AS (SELECT tk, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t_tok FROM freq),
+    s AS (
+      SELECT tk,
+             CAST(round((ln(CAST(t_tok AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS su
+      FROM freq CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(sum(c * su) AS DOUBLE) / 1000000 / sum(c), 6)
+             AS mean_surprisal
+    FROM dt JOIN s USING (tk)
+    GROUP BY 1
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token count and mean unigram surprisal (nats).
+
+    Scale shape: tokens collapse to (doc_id, token, count) grain before
+    anything shuffles (same as rare_token_ratio); the model itself — the
+    vocabulary-grain frequency table with integer micro-nat surprisals —
+    is what joins back, and the corpus total attaches to it as the
+    sanctioned 1-row broadcast. Head-token key skew on the join back is
+    AQE skew-split territory; the per-doc sum is exact BIGINT, so task
+    order can't move the hash. Docs with zero tokens drop out (inner
+    join) in both engines by construction."""
+    d = t_split(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RE), 0)
+        ).alias("tk"),
+    )
+    dt = tok.groupBy("doc_id", "tk").agg(F.count("*").cast("bigint").alias("c"))
+    freq = dt.groupBy("tk").agg(F.sum("c").cast("bigint").alias("cf"))
+    tot = F.broadcast(freq.agg(F.sum("cf").cast("bigint").alias("t_tok")))
+    su = F.round(
+        (F.log(F.col("t_tok").cast("double")) - F.log(F.col("cf").cast("double")))
+        * 1000000
+    ).cast("bigint")
+    s = freq.join(tot).select("tk", su.alias("su"))
+    return (
+        dt.join(s, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("su")).cast("double")
+                / 1000000
+                / F.sum("c"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
