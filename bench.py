@@ -49,6 +49,7 @@ HEADLINE = [
     "bm25_search",
     "inverted_index",
     "text_classify_scores",
+    "unigram_surprisal",
     "token_stats",
     "doc_fingerprint",
     "multimodal_decode",

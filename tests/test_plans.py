@@ -82,9 +82,10 @@ def test_lsh_paths_avoid_cartesian(spark, name):
 def test_no_headline_query_plans_all_pairs(spark):
     """No headline bench query may materialize the n² pair space. The
     sanctioned nested-loops: knn_bruteforce, whose loop side is the bounded
-    broadcast query set (per-batch scoring pattern), and bm25_search, whose
-    loop side is the 1-ROW broadcast corpus-stats aggregate (N, sum dl) —
-    a scalar join, constant-size at any corpus scale."""
+    broadcast query set (per-batch scoring pattern), and bm25_search /
+    unigram_surprisal, whose loop side is a 1-ROW broadcast corpus-stats
+    aggregate (N, sum dl / total token count) — a scalar join,
+    constant-size at any corpus scale."""
     import bench
 
     for name in bench.HEADLINE:
@@ -92,7 +93,7 @@ def test_no_headline_query_plans_all_pairs(spark):
             continue
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
-        if name not in ("knn_bruteforce", "bm25_search"):
+        if name not in ("knn_bruteforce", "bm25_search", "unigram_surprisal"):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
