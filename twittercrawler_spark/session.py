@@ -49,6 +49,15 @@ def get_spark(
         # modest Arrow batches: crawl rows carry multi-KB html/text payloads,
         # and 10k-row batches of those thrash the heap at high parallelism
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # JVM-side twin of the Arrow cap: the vectorized parquet reader
+        # reserves columnarReaderBatchSize rows CONTIGUOUSLY per task batch
+        # — the 4096-row default is sized for numeric columns, but at ~28 KB
+        # html/text rows it is ~115 MB per in-flight task, which at 32
+        # concurrent tasks OOMs any per-executor heap that 8 tasks survive
+        # (measured: the local[32] scan died in GC while local[8] passed,
+        # inverting the 8->32 scaling step). 512 rows ≈ 14 MB per task on
+        # page-sized rows, linear head-room in the core count.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         # zstd: ~35% smaller files than snappy on text-heavy tables; the
         # extra (parallel) CPU trades against the one resource that does
         # NOT scale with executors — storage bandwidth
