@@ -58,6 +58,16 @@ def get_spark(
         # inverting the 8->32 scaling step). 512 rows ≈ 14 MB per task on
         # page-sized rows, linear head-room in the core count.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # writer-side twin of the same bound: a ParquetWriter buffers up to
+        # parquet.block.size of UNCOMPRESSED column data per task before
+        # flushing a row group — the 128 MB default × 32 concurrent write
+        # tasks is > 4 GB of heap churn on page-sized rows (the fetch_log/
+        # frontier writes showed the same degrade-at-32 signature as the
+        # reader). 16 MB bounds the writer the same way, and the resulting
+        # multi-row-group files let later scans split BELOW file granularity
+        # (byte-range splits bind to row groups), so warehouse tables stay
+        # scan-parallel even when a stage coalesced them to few files.
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
         # zstd: ~35% smaller files than snappy on text-heavy tables; the
         # extra (parallel) CPU trades against the one resource that does
         # NOT scale with executors — storage bandwidth
