@@ -71,8 +71,40 @@ BENCH_PAGES, BENCH_WORDS = 40_000, 1_000
 SCALE_PAGES, SCALE_WORDS = 300_000, 4_000
 
 # bench sessions split parquet finer than the 128 MB default so scan + UDF
-# stages can use every core (corpus files are small relative to real CC data)
-BENCH_CONF = {"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}
+# stages can use every core (corpus files are small relative to real CC data).
+# The fixed pre-touched heap removes JVM heap commit/uncommit page-fault storms:
+# on this oversubscribed host, guest page faults contend mmap_lock while vCPUs
+# holding it get preempted (lock-holder preemption), which burns kernel time
+# superlinearly in core count — measured as the dominant 32-core noise term.
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
+BENCH_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.driver.extraJavaOptions": f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
+}
+
+
+def _cpu_ticks() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+class HostNoise:
+    """Sample /proc/stat around a measured section: steal%% and sys%% of total
+    ticks. The sandbox VM shares an oversubscribed hypervisor; publishing the
+    noise level with every number lets a reader separate engine regressions
+    from host weather (VERDICT r3 was partly the latter)."""
+
+    def __enter__(self):
+        self._t0 = _cpu_ticks()
+        return self
+
+    def __exit__(self, *exc):
+        t1 = _cpu_ticks()
+        d = [b - a for a, b in zip(self._t0, t1)]
+        tot = max(sum(d), 1)
+        # fields: user nice system idle iowait irq softirq steal
+        self.steal_pct = round(100.0 * d[7] / tot, 1)
+        self.sys_pct = round(100.0 * d[2] / tot, 1)
 
 
 def ensure_bench_corpus(n_pages: int = BENCH_PAGES, words: int = BENCH_WORDS) -> str:
@@ -172,18 +204,19 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, extra_conf=BENCH_CONF)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        # best of 2 with a FRESH plan per trial (new DataFrame lineage — no
-        # shuffle/exchange reuse across trials): the sandbox VM has noisy
-        # neighbors and the metric of interest is the engine's steady-state
-        # time, not the host's jitter. Warm OS page cache is deliberate.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    with HostNoise() as hq:
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name]
+            # best of 2 with a FRESH plan per trial (new DataFrame lineage — no
+            # shuffle/exchange reuse across trials): the sandbox VM has noisy
+            # neighbors and the metric of interest is the engine's steady-state
+            # time, not the host's jitter. Warm OS page cache is deliberate.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _force(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
     spark.stop()
 
     # Crawl metric at the driver-contract parallelism ($SPARK_GRAFT_CPUS).
@@ -196,7 +229,8 @@ def main() -> None:
         "bench_crawl", cores=cpus, shuffle_partitions=min(cpus, 64),
         extra_conf=BENCH_CONF,
     )
-    crawl = bench_crawl(spark, corpus, trials=2)
+    with HostNoise() as hc:
+        crawl = bench_crawl(spark, corpus, trials=2)
     crawl["crawl_cores"] = cpus
     spark.stop()
     if cpus > 8:
@@ -216,6 +250,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **crawl,
+        # host-noise telemetry for the measured sections (oversubscribed VM:
+        # steal = hypervisor preemption, sys = guest-kernel lock spinning)
+        "host_noise": {
+            "queries_steal_pct": hq.steal_pct,
+            "queries_sys_pct": hq.sys_pct,
+            "crawl_steal_pct": hc.steal_pct,
+            "crawl_sys_pct": hc.sys_pct,
+        },
     }
     print(json.dumps(out))
 

@@ -88,6 +88,13 @@ SUBSET = [
     "unigram_surprisal",
     "grouping_sets_revenue",
     "part_name_fuzzy_match",
+    # round-4: driver rotation had left these six out of every gate (VERDICT r3)
+    "ann_lsh_bucketed",
+    "decontaminate_against_eval",
+    "dedup_embedding_cosine",
+    "dedup_near_canonical",
+    "doc_fingerprint",
+    "quality_score",
 ]
 
 

@@ -296,10 +296,14 @@ def test_grouping_sets_single_pass(spark):
     agg over a single pass of the join — not two separate scans/shuffles
     of the orders fact."""
     plan = plan_of(spark, "grouping_sets_revenue")
-    assert "Expand" in plan
     assert "CartesianProduct" not in plan
-    # one scan of the orders fact, not one per grouping set
-    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 4
+    # exactly ONE Expand operator (tree line + detail line in formatted mode)
+    assert plan.count("Expand") == 2, plan
+    # exactly one scan per relation — the orders fact is NOT scanned once per
+    # grouping set (formatted mode embeds each relation's path once)
+    assert plan.count("orders.parquet") == 1, plan
+    # 4 relations (orders/customer/nation/region), each a tree + detail line
+    assert plan.count("Scan parquet") == 8, plan
 
 
 def test_fuzzy_match_broadcasts_literal_dim(spark):

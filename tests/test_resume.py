@@ -86,10 +86,10 @@ def test_main_path_failure_joins_sidecar_thread_and_aborts_round(
 
     orig_write = Warehouse.write
 
-    def failing_write(self, name, df, rnd):
+    def failing_write(self, name, df, rnd, **kw):
         if name == "fetch_log":
             raise RuntimeError("injected fetch_log failure")
-        return orig_write(self, name, df, rnd)
+        return orig_write(self, name, df, rnd, **kw)
 
     Warehouse.write = failing_write
     try:

@@ -155,3 +155,38 @@ def test_zip_lines_skips_binary_members(spark, tmp_path):
         zf.writestr("img.bin", bytes([0xFF, 0xFE, 0x00, 0x9C] * 8))
     rows = read_zip_lines(spark, str(tmp_path)).collect()
     assert {(r["member"], r["line"]) for r in rows} == {("good.txt", "a"), ("good.txt", "b")}
+
+
+def test_parquet_bounds_scoped_not_global(spark, tmp_path):
+    """Round-3 regression guard: the page-row parquet bounds must NOT be
+    session defaults (they cost numeric scans 11x, VERDICT r3); the writer
+    bound is applied per-write for wide tables and bounds later scans via
+    row-group granularity (a vectorized reader batch never spans one)."""
+    from twittercrawler_spark.session import PAGE_ROW_GROUP_BYTES, page_row_scan
+    from twittercrawler_spark.sources.tables import Warehouse
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    # session default restored (Spark default 4096; anything >= 2048 is sane)
+    assert int(spark.conf.get(key, "4096")) >= 2048
+    with page_row_scan(spark, batch_rows=512):
+        assert spark.conf.get(key) == "512"
+    assert int(spark.conf.get(key, "4096")) >= 2048
+
+    # writer bound: ~12 MB of incompressible rows with a 1 MB row-group bound
+    # must split into many row groups (parquet-mr checks size every ~100 rows)
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.range(12000)
+    cols = [
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(i))), 256)
+        for i in range(16)
+    ]
+    df = df.withColumn("payload", F.concat(*cols)).coalesce(1)
+    wh = Warehouse(str(tmp_path / "wh"))
+    path = wh.write("pages_canon", df, 0, row_group_bytes=1024 * 1024)
+    f = glob.glob(path + "/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.num_row_groups >= 5
+    assert PAGE_ROW_GROUP_BYTES == 16 * 1024 * 1024

@@ -585,9 +585,13 @@ def rare_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
 # LM-based quality/novelty signal a pretraining pipeline runs right after
 # rare_token_ratio: boilerplate scores low (head tokens), gibberish scores
 # high. Cross-engine determinism: ln() runs over EXACT BIGINT counts and is
-# quantized to integer micro-nats at the DISTINCT-token grain, so the
-# order-dependent per-doc aggregation is exact integer math in both engines
-# — the only float surface is one round() per vocabulary entry.
+# quantized to an integer grid at the DISTINCT-token grain, which makes the
+# order-dependent per-doc aggregation exact integer math in both engines.
+# The one remaining float surface is the round() per vocabulary entry: each
+# engine's libm log is not correctly rounded, so a ~1-ulp divergence landing
+# within an ulp of a .5 grid boundary could still flip one unit — the coarse
+# 1e4 quantum (0.1 milli-nat) keeps boundaries ~1e-11 away from any 1-ulp
+# drift rather than guaranteeing impossibility.
 @q(
     "unigram_surprisal",
     f"""
@@ -600,11 +604,11 @@ def rare_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
     s AS (
       SELECT tk,
              CAST(round((ln(CAST(t_tok AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
-                        * 1000000) AS BIGINT) AS su
+                        * 10000) AS BIGINT) AS su
       FROM freq CROSS JOIN tot)
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
-           round(CAST(sum(c * su) AS DOUBLE) / 1000000 / sum(c), 6)
+           round(CAST(sum(c * su) AS DOUBLE) / 10000 / sum(c), 6)
              AS mean_surprisal
     FROM dt JOIN s USING (tk)
     GROUP BY 1
@@ -615,12 +619,14 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: tokens collapse to (doc_id, token, count) grain before
     anything shuffles (same as rare_token_ratio); the model itself — the
-    vocabulary-grain frequency table with integer micro-nat surprisals —
-    is what joins back, and the corpus total attaches to it as the
+    vocabulary-grain frequency table with 0.1-milli-nat integer surprisals
+    — is what joins back, and the corpus total attaches to it as the
     sanctioned 1-row broadcast. Head-token key skew on the join back is
-    AQE skew-split territory; the per-doc sum is exact BIGINT, so task
-    order can't move the hash. Docs with zero tokens drop out (inner
-    join) in both engines by construction."""
+    AQE skew-split territory; the quantization makes the per-doc
+    aggregation order-independent exact BIGINT math (the round() per
+    vocabulary entry is the one float surface — see the oracle comment on
+    the quantum choice). Docs with zero tokens drop out (inner join) in
+    both engines by construction."""
     d = t_split(spark, sf, "documents")
     tok = d.select(
         "doc_id",
@@ -633,7 +639,7 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     tot = F.broadcast(freq.agg(F.sum("cf").cast("bigint").alias("t_tok")))
     su = F.round(
         (F.log(F.col("t_tok").cast("double")) - F.log(F.col("cf").cast("double")))
-        * 1000000
+        * 10000
     ).cast("bigint")
     s = freq.join(tot).select("tk", su.alias("su"))
     return (
@@ -643,7 +649,7 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_tokens"),
             F.round(
                 F.sum(F.col("c") * F.col("su")).cast("double")
-                / 1000000
+                / 10000
                 / F.sum("c"),
                 6,
             ).alias("mean_surprisal"),

@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import (
@@ -44,6 +44,7 @@ from ..functions.udfs import (
     udf_extract_text_links,
 )
 from ..functions.urls import spark_host_bucket, spark_url_hash64
+from ..session import PAGE_ROW_GROUP_BYTES, page_row_scan
 from ..sources.tables import Warehouse
 from .scheduler import select_per_host_topk, with_global_sequence
 from .seen import filter_unseen, plan_update, update_bloom_sidecar
@@ -74,6 +75,48 @@ _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
 
 
 _HOST_RE = r"^[a-z0-9+.-]+://([^/?#]+)"
+
+
+def _metrics_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("host_bucket", pa.int32()), ("stage", pa.string()), ("n", pa.int64())]
+    )
+
+
+# Per-bucket lineage counts ride the write jobs as Observation expressions
+# (one count-if per bucket, whole-stage-codegen'd) instead of separate
+# aggregation jobs — each job launch is a fixed slice of the per-round serial
+# floor that bounds small-round scaling efficiency. The expression count is
+# linear in num_buckets, so past this cap the round falls back to the fused
+# aggregation job: at bucket counts that large, rounds are data-bound and one
+# extra job is noise.
+_OBS_MAX_BUCKETS = 256
+
+
+def _bucket_obs_exprs(num_buckets: int, prefix: str, pred=None) -> list:
+    out = []
+    for b in range(num_buckets):
+        cond = F.col("host_bucket") == F.lit(b)
+        if pred is not None:
+            cond = cond & pred
+        out.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"{prefix}{b}")
+        )
+    return out
+
+
+def _obs_counts(values: dict, num_buckets: int, prefix: str) -> dict[int, int]:
+    """Non-zero per-bucket counts from an Observation result (groupBy-count
+    semantics: absent buckets emit no row)."""
+    return {
+        b: int(values[f"{prefix}{b}"])
+        for b in range(num_buckets)
+        if values.get(f"{prefix}{b}") and int(values[f"{prefix}{b}"]) > 0
+    }
 
 
 def _with_url_cols(df: DataFrame, num_buckets: int, salt_sub_buckets: int) -> DataFrame:
@@ -129,7 +172,12 @@ def bootstrap(
     # cluster the corpus by host_bucket so per-round fetch joins and seen
     # probes co-locate (the Iceberg partition-spec analog)
     canon = canon.repartition(cfg.num_buckets, "host_bucket")
-    wh.write("pages_canon", canon, 0)
+    # page_row_scan: this is the one scan of ~28 KB html rows from parquet we
+    # did not write (the raw corpus), so the reader batch can't lean on a
+    # row-group bound; PAGE_ROW_GROUP_BYTES bounds the written table so every
+    # LATER pages_canon scan self-bounds at the default 4096-row batch.
+    with page_row_scan(spark):
+        wh.write("pages_canon", canon, 0, row_group_bytes=PAGE_ROW_GROUP_BYTES)
 
     seeds = (
         spark.read.parquet(seeds_path)
@@ -140,24 +188,41 @@ def bootstrap(
         .withColumn("discovered_round", F.lit(0))
     )
     seeds = _with_url_cols(seeds, cfg.num_buckets, cfg.salt_sub_buckets)
-    wh.write("frontier", seeds.select(
+    seeds_out = seeds.select(
         "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
-    ), 0)
+    )
+    # round-0 lineage: per-bucket frontier counts — round 1 reads these as
+    # its "candidates" stage instead of rescanning the frontier. The counts
+    # ride the frontier write as an Observation (no separate count job) and
+    # the metadata-scale metrics table is written driver-side (no job).
+    use_obs = cfg.num_buckets <= _OBS_MAX_BUCKETS
+    if use_obs:
+        obs0 = Observation()
+        seeds_out = seeds_out.observe(obs0, *_bucket_obs_exprs(cfg.num_buckets, "b"))
+    wh.write("frontier", seeds_out, 0)
 
     robots = spark.read.parquet(robots_path)
     wh.write("robots", robots, 0)
-    # round-0 lineage: per-bucket frontier counts — round 1 reads these as
-    # its "candidates" stage instead of rescanning the frontier
-    m0 = (
-        wh.read_uncommitted(spark, "frontier", 0)
-        .groupBy("host_bucket")
-        .agg(F.count("*").alias("n"))
-        .withColumn("stage", F.lit("frontier_next"))
-        .select("host_bucket", "stage", "n")
+    if use_obs:
+        counts0 = _obs_counts(obs0.get, cfg.num_buckets, "b")
+    else:
+        counts0 = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in wh.read_uncommitted(spark, "frontier", 0)
+            .groupBy("host_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    wh.write_rows(
+        "metrics",
+        0,
+        [
+            {"host_bucket": b, "stage": "frontier_next", "n": n}
+            for b, n in sorted(counts0.items())
+        ],
+        _metrics_schema(),
     )
-    collected0 = m0.collect()
-    wh.write("metrics", spark.createDataFrame(collected0, m0.schema), 0)
-    n_seeds = sum(r["n"] for r in collected0)
+    n_seeds = sum(counts0.values())
     wh.commit(0, {"seq_end": 0, "frontier_size": n_seeds, "cfg": cfg.__dict__})
 
 
@@ -228,9 +293,20 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
     prev_meta = {int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()}
 
+    use_obs = cfg.num_buckets <= _OBS_MAX_BUCKETS
+
     def _seen_and_sidecar() -> dict[int, tuple[int, int]]:
         t0 = time.time()
-        wh.write("seen", selected.select("url", "url_hash", "host_bucket"), rnd)
+        seen_out = selected.select("url", "url_hash", "host_bucket")
+        obs_seen = None
+        if use_obs:
+            # per-bucket counts of this round's hashes ride the seen write as
+            # an Observation — one job instead of write + count
+            obs_seen = Observation()
+            seen_out = seen_out.observe(
+                obs_seen, *_bucket_obs_exprs(cfg.num_buckets, "s")
+            )
+        wh.write("seen", seen_out, rnd)
         new_hashes = selected.select("host_bucket", "url_hash")
         if seen_prior is not None and (sidecar_prev is None or not prev_meta):
             # resume from a pre-sidecar warehouse (rare): rebuild every
@@ -245,14 +321,15 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             bloom_meta, _ = plan_update({}, counts)
             sidecar_next = update_bloom_sidecar(full, None)
         else:
-            # per-bucket counts of this round's hashes: a tiny job over the
-            # checkpointed slice, free in wall-clock terms under the overlap
-            n_new = {
-                int(r["host_bucket"]): int(r["n"])
-                for r in new_hashes.groupBy("host_bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            if obs_seen is not None:
+                n_new = _obs_counts(obs_seen.get, cfg.num_buckets, "s")
+            else:
+                n_new = {
+                    int(r["host_bucket"]): int(r["n"])
+                    for r in new_hashes.groupBy("host_bucket")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
             bloom_meta, overflow = plan_update(prev_meta, n_new)
             full = (
                 seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
@@ -333,7 +410,15 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "seq", "url", "host", "host_bucket", "status", "text", "lang",
             "priority", "links",
         )
-        wh.write("fetch_log", fetch_out, rnd)
+        obs_sel = None
+        if use_obs:
+            # the "selected" lineage counts ride the fetch write (hit ∪ miss
+            # is exactly the schedule slice) — no separate count job
+            obs_sel = Observation()
+            fetch_out = fetch_out.observe(
+                obs_sel, *_bucket_obs_exprs(cfg.num_buckets, "c")
+            )
+        wh.write("fetch_log", fetch_out, rnd, row_group_bytes=PAGE_ROW_GROUP_BYTES)
         fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd, fetch_out.schema)
         tm.lap("fetch+extract+write")
 
@@ -377,62 +462,86 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
         ).unionByName(new_pending)
         frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
+        obs_fr = None
+        if use_obs:
+            # frontier_next + new_links lineage counts ride the frontier write
+            obs_fr = Observation()
+            frontier_next = frontier_next.observe(
+                obs_fr,
+                *_bucket_obs_exprs(cfg.num_buckets, "f"),
+                *_bucket_obs_exprs(
+                    cfg.num_buckets, "l", pred=F.col("discovered_round") == rnd
+                ),
+            )
         wh.write("frontier", frontier_next, rnd)
         tm.lap("expand+frontier_write")
-        frontier_written = wh.read_uncommitted(
-            spark, "frontier", rnd, frontier_next.schema
-        )
 
-        # per-partition lineage metrics (north rule): per-host_bucket counts at
-        # each stage of this round, in ONE fused job that scans each input once:
-        # * candidates = last round's frontier_next lineage (tiny metrics read —
-        #   the frontier is never rescanned just to count it);
-        # * new_links + frontier_next come from a single scan of the written
-        #   frontier (two aggregate columns, unpivoted via stack);
-        # * selected counts scan the checkpointed schedule slice.
-        prev_metrics = wh.read_round(spark, "metrics", rnd - 1)
-        if prev_metrics is not None:
-            cand_m = (
-                prev_metrics.drop("round")
-                .filter(F.col("stage") == "frontier_next")
-                .select("host_bucket", F.lit("candidates").alias("stage"), "n")
-            )
+        # per-partition lineage metrics (north rule): per-host_bucket counts
+        # at each stage of this round. candidates = last round's frontier_next
+        # lineage (metadata-scale driver read — the frontier is never
+        # rescanned just to count it); selected rode the fetch write;
+        # frontier_next/new_links rode the frontier write. No dedicated
+        # metrics job remains on the main path — each count is an Observation
+        # on a write the round runs anyway (the fused-aggregation fallback
+        # below covers bucket counts past the observation cap and pre-lineage
+        # resumes). The Bloom-sidecar plan needs its per-bucket counts
+        # EARLIER, so the overlapped thread observes its own seen write —
+        # that duplication is what buys the fetch-stage overlap.
+        prev_rows = wh.read_rows("metrics", rnd - 1)
+        if prev_rows is not None:
+            cand_counts = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in prev_rows
+                if r["stage"] == "frontier_next"
+            }
         else:  # pre-lineage warehouse resume: count the pending frontier directly
-            cand_m = (
-                pending.groupBy("host_bucket")
+            cand_counts = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in pending.groupBy("host_bucket")
                 .agg(F.count("*").alias("n"))
-                .select("host_bucket", F.lit("candidates").alias("stage"), "n")
+                .collect()
+            }
+        if use_obs:
+            sel_counts = _obs_counts(obs_sel.get, cfg.num_buckets, "c")
+            fr_values = obs_fr.get
+            fn_counts = _obs_counts(fr_values, cfg.num_buckets, "f")
+            nl_counts = _obs_counts(fr_values, cfg.num_buckets, "l")
+        else:
+            frontier_written = wh.read_uncommitted(
+                spark, "frontier", rnd, frontier_next.schema
             )
-        sel_m = (
-            selected.groupBy("host_bucket")
-            .agg(F.count("*").alias("n"))
-            .select("host_bucket", F.lit("selected").alias("stage"), "n")
-        )
-        fw_m = (
-            frontier_written.groupBy("host_bucket")
-            .agg(
-                F.count("*").alias("fn"),
-                F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
-                .cast("bigint")
-                .alias("nl"),
+            sel_counts = {
+                int(r["host_bucket"]): int(r["n"])
+                for r in selected.groupBy("host_bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            fn_counts, nl_counts = {}, {}
+            for r in (
+                frontier_written.groupBy("host_bucket")
+                .agg(
+                    F.count("*").alias("fn"),
+                    F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("nl"),
+                )
+                .collect()
+            ):
+                fn_counts[int(r["host_bucket"])] = int(r["fn"])
+                if int(r["nl"]) > 0:
+                    nl_counts[int(r["host_bucket"])] = int(r["nl"])
+        collected = [
+            {"host_bucket": b, "stage": stage, "n": n}
+            for stage, counts in (
+                ("candidates", cand_counts),
+                ("selected", sel_counts),
+                ("frontier_next", fn_counts),
+                ("new_links", nl_counts),
             )
-            .selectExpr(
-                "host_bucket", "stack(2, 'frontier_next', fn, 'new_links', nl) AS (stage, n)"
-            )
-        )
-        metric_rows = cand_m.unionByName(sel_m).unionByName(fw_m)
-        # one compute job on the MAIN path: the lineage table and the commit
-        # totals both come from this collect. (The Bloom-sidecar plan needs its
-        # per-bucket counts EARLIER, so the overlapped thread computes its own
-        # tiny count over the checkpointed slice — that duplication is what buys
-        # the fetch-stage overlap; don't "simplify" it back into this job.)
-        collected = metric_rows.collect()
+            for b, n in sorted(counts.items())
+        ]
         tm.lap("metrics_collect")
-        wh.write(
-            "metrics",
-            spark.createDataFrame(collected, metric_rows.schema),
-            rnd,
-        )
+        wh.write_rows("metrics", rnd, collected, _metrics_schema())
         totals = {s: 0 for s in ("candidates", "selected", "new_links", "frontier_next")}
         for r in collected:
             totals[r["stage"]] += r["n"]

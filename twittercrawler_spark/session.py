@@ -8,13 +8,48 @@ is chosen to be correct at both scales:
 * shuffle partitions sized to cores locally (a cluster deployment overrides
   via spark-submit conf; nothing in the engine assumes the local value)
 * UTC session timezone (oracle comparisons against DuckDB are UTC-naive)
+
+BEFORE COMMITTING ANY CHANGE TO THIS FILE run `python tools/bench_smoke.py`
+(headline-shape envelope at sf0.01) — a global default that is right for one
+row shape can be a scale-killer for another, and round 3 shipped a 3x bench
+regression exactly this way.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+# writer row-group bound for page-sized rows (~28 KB html/text): bounds both
+# the writer's per-task buffer AND — because a vectorized parquet reader batch
+# never spans a row group — every later scan's per-task batch, regardless of
+# the 4096-row session default. Used by the crawl warehouse for its wide
+# tables only (pages_canon, fetch_log); analytics tables keep the 128 MB
+# default for compression/scan locality at 100 TB.
+PAGE_ROW_GROUP_BYTES = 16 * 1024 * 1024
+
+
+@contextlib.contextmanager
+def page_row_scan(spark: SparkSession, batch_rows: int = 512):
+    """Scope a small vectorized-reader batch around actions that scan
+    page-sized rows from parquet WE DID NOT WRITE (no 16 MB row-group bound
+    to lean on): 4096-row batches of ~28 KB rows are ~115 MB per in-flight
+    task, which at 32 concurrent tasks inverts the 8->32 scaling step under
+    GC (measured, BENCH/STAGES.md); 512 rows ≈ 14 MB per task. The conf is
+    captured at physical-planning (action) time, so the toggle-restore
+    pattern scopes it to exactly the actions run inside the block."""
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(batch_rows))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def get_spark(
@@ -49,25 +84,21 @@ def get_spark(
         # modest Arrow batches: crawl rows carry multi-KB html/text payloads,
         # and 10k-row batches of those thrash the heap at high parallelism
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # JVM-side twin of the Arrow cap: the vectorized parquet reader
-        # reserves columnarReaderBatchSize rows CONTIGUOUSLY per task batch
-        # — the 4096-row default is sized for numeric columns, but at ~28 KB
-        # html/text rows it is ~115 MB per in-flight task, which at 32
-        # concurrent tasks OOMs any per-executor heap that 8 tasks survive
-        # (measured: the local[32] scan died in GC while local[8] passed,
-        # inverting the 8->32 scaling step). 512 rows ≈ 14 MB per task on
-        # page-sized rows, linear head-room in the core count.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
-        # writer-side twin of the same bound: a ParquetWriter buffers up to
-        # parquet.block.size of UNCOMPRESSED column data per task before
-        # flushing a row group — the 128 MB default × 32 concurrent write
-        # tasks is > 4 GB of heap churn on page-sized rows (the fetch_log/
-        # frontier writes showed the same degrade-at-32 signature as the
-        # reader). 16 MB bounds the writer the same way, and the resulting
-        # multi-row-group files let later scans split BELOW file granularity
-        # (byte-range splits bind to row groups), so warehouse tables stay
-        # scan-parallel even when a stage coalesced them to few files.
-        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        # Parquet batch/row-group sizing stays at the Spark defaults (4096-row
+        # vectorized reader batches, 128 MB writer row groups): those are the
+        # right numbers for numeric/analytics tables, and round 3 measured an
+        # 11x scan regression (pricing_summary 0.61s -> 6.8s at sf0.1) when a
+        # page-row bound (512/16m) was applied HERE as a session default.
+        # Page-sized rows (~28 KB html/text) do need bounding — 4096 rows of
+        # those is ~115 MB per in-flight task batch, which inverts the 8->32
+        # scaling step under GC — but the bound is scoped to where such rows
+        # live: the crawl warehouse writes its wide tables (pages_canon,
+        # fetch_log) with 16 MB row groups (sources/tables.py row_group_bytes),
+        # and since a vectorized reader batch never spans a row group, every
+        # later scan of those tables self-bounds to ~16 MB per task batch with
+        # no session knob. The one scan of page rows NOT written by us (the
+        # raw corpus in frontier.crawl.bootstrap) runs under the scoped
+        # page_row_scan() conf below.
         # zstd: ~35% smaller files than snappy on text-heavy tables; the
         # extra (parallel) CPU trades against the one resource that does
         # NOT scale with executors — storage bandwidth

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,14 +74,69 @@ class Warehouse:
     def _round_dir(self, name: str, rnd: int) -> str:
         return os.path.join(self.root, name, f"round={rnd}")
 
-    def write(self, name: str, df: DataFrame, rnd: int) -> str:
+    def write(
+        self, name: str, df: DataFrame, rnd: int, row_group_bytes: int | None = None
+    ) -> str:
         """Write one table's data for round ``rnd`` (invisible until commit).
 
         ``mode=overwrite`` makes re-running an uncommitted/crashed round safe.
+
+        ``row_group_bytes`` bounds the parquet writer's per-task row-group
+        buffer (and thereby every later scan's per-task batch — a vectorized
+        reader batch never spans a row group). Callers pass it ONLY for
+        page-sized rows (html/text, ~28 KB/row: pages_canon, fetch_log);
+        narrow tables keep the 128 MB default for scan locality at 100 TB.
         """
         path = self._round_dir(name, rnd)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if row_group_bytes is not None:
+            w = w.option("parquet.block.size", str(row_group_bytes))
+        w.parquet(path)
         return path
+
+    def write_rows(self, name: str, rnd: int, rows: list[dict], schema) -> str:
+        """Driver-side write of a METADATA-SCALE table (≤ thousands of rows,
+        e.g. per-bucket lineage metrics) straight to one parquet file via
+        pyarrow — no Spark job. A job launch costs a fixed slice of the
+        per-round serial floor, which is exactly what bounds crawl scaling
+        efficiency at small round sizes; data-scale tables never come
+        through here. ``schema`` is a pyarrow schema pinned by the caller so
+        all rounds of the table union under one Spark schema.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._round_dir(name, rnd)
+        os.makedirs(path, exist_ok=True)
+        # overwrite semantics to match write(): clear prior files of a
+        # crashed/re-run round before adding ours
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(path, f))
+        cols = {
+            f.name: [r.get(f.name) for r in rows] for f in schema
+        }
+        table = pa.Table.from_pydict(cols, schema=schema)
+        pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+        return path
+
+    def read_rows(self, name: str, rnd: int) -> list[dict] | None:
+        """Driver-side read of a metadata-scale round partition (see
+        write_rows) — works on both pyarrow- and Spark-written rounds."""
+        import pyarrow.parquet as pq
+
+        path = self._round_dir(name, rnd)
+        if not os.path.isdir(path):
+            return None
+        tables = [
+            pq.read_table(os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        out: list[dict] = []
+        for t in tables:
+            out.extend(t.to_pylist())
+        return out
 
     def read(
         self, spark: SparkSession, name: str, upto: int | None = None
