@@ -76,13 +76,14 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(hits) / len(knn) >= 0.15
     for pair in hits:
         assert ivf[pair] == knn[pair], pair
-    # one Lloyd round must not hurt recall on the fixed test corpus
-    # (measured: 0.34 seed -> 0.42 refined at sf0.001)
+    # the refined index (2 Lloyd rounds, top-2 multi-assignment, nprobe=6)
+    # must clear the flagship recall bar (measured 0.80 at sf0.001; bound
+    # leaves margin for testdata regeneration)
     refined = {
         (r["query_id"], r["neighbor_id"])
         for r in ALL_QUERIES["ann_ivf_refined"](spark, SF_DIR).collect()
     }
-    assert len(refined & set(knn)) >= len(hits)
+    assert len(refined & set(knn)) / len(knn) >= 0.7
 
 
 def test_shingle_dedup_catches_short_documents(spark, tmp_path):

@@ -426,14 +426,27 @@ def _ivf_assigner(cent_rows: list, top_r: int):
 
 
 def _ivf_search(
-    spark: SparkSession, sf: str, quant: DataFrame, cent_rows: list
+    spark: SparkSession,
+    sf: str,
+    quant: DataFrame,
+    cent_rows: list,
+    assign_a: int = 1,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Assignment + nprobe cell-probing top-k against a given quantizer."""
-    assign_df = quant.mapInPandas(_ivf_assigner(cent_rows, 1), _IVF_OUT_SCHEMA)
+    """Assignment + nprobe cell-probing top-k against a given quantizer.
+
+    ``assign_a`` is the multi-assignment factor: each corpus vector is
+    indexed into its top-A cells (A > 1 trades A× index size for recall —
+    the standard IVF multiple-assignment knob; probe cost per query stays
+    ~nprobe·cell-size, and duplicated (query, neighbor) candidates are
+    de-duplicated BEFORE the exact-cosine rescoring join)."""
+    assign_df = quant.mapInPandas(
+        _ivf_assigner(cent_rows, min(assign_a, len(cent_rows))), _IVF_OUT_SCHEMA
+    )
     probes = (
         quant.filter(F.col("vec_id") < KNN_QUERIES)
         .mapInPandas(
-            _ivf_assigner(cent_rows, min(IVF_NPROBE, len(cent_rows))),
+            _ivf_assigner(cent_rows, min(nprobe, len(cent_rows))),
             _IVF_OUT_SCHEMA,
         )
         .withColumnRenamed("vec_id", "query_id")
@@ -444,6 +457,10 @@ def _ivf_search(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+    if assign_a > 1:
+        # a neighbor sharing >1 probed cell with the query would be scored
+        # twice (and double-counted by the rank window) without this
+        cand = cand.distinct()
     e = _emb(spark, sf)
     cos = _cos_cols(F.col("vq_"), F.col("vc_"))
     scored = (
@@ -468,14 +485,31 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_search(spark, sf, quant, _ivf_seed_centroids(quant, n_cent))
 
 
-# One Lloyd refinement round on top of the hash-sampled seed quantizer: new
-# centroid = per-dimension integer mean (floor(sum/count + 0.5)) of the
+# Lloyd refinement on top of the hash-sampled seed quantizer: each round's
+# new centroid = per-dimension integer mean (floor(sum/count + 0.5)) of the
 # vectors assigned to the cell — the k-means train step, expressed as ONE
-# cid-keyed aggregation (linear, map-side combinable) with the refined
-# quantizer collected back as model state. All arithmetic stays
+# cid-keyed aggregation per round (linear, map-side combinable) with the
+# refined quantizer collected back as model state. All arithmetic stays
 # engine-identical: int64 sums, one double division, one floor. Cells that
 # attract no vectors drop out (standard Lloyd behavior).
-_IVF_REFINED_SQL = f"""
+#
+# The refined index buys recall with two FIXED-absolute knobs (measured at
+# sf0.001 vs knn_bruteforce: seed/nprobe=4 0.34 → 0.80 with rounds=2,
+# multi-assign A=2, nprobe=6): because the cell count C = ceil(sqrt(n))
+# grows with the corpus, the probed candidate fraction ~A·nprobe/C SHRINKS
+# with scale — at n=10^6 it is ~1.2% of the corpus, at the sf0.001 test
+# corpus it is deliberately generous.
+_IVF_REFINE_ROUNDS = 2
+_IVF_ASSIGN = 2
+_IVF_REFINED_NPROBE = 6
+
+
+def _ivf_refined_sql(rounds: int, assign_a: int, nprobe: int) -> str:
+    """DuckDB twin of the refined IVF path, generated for any round count:
+    the same quantization/seed CTEs as _IVF_SQL, then per round a
+    (score → argmax-assign → integer-mean) block, then multi-assign /
+    probe / DISTINCT-candidate / exact-rescore epilogue."""
+    head = f"""
     WITH q AS (
       SELECT vec_id, d, CAST(round(embedding[d]::DOUBLE * 1000, 0) AS BIGINT) AS qv
       FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS gd(d)),
@@ -486,50 +520,56 @@ _IVF_REFINED_SQL = f"""
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM embeddings) s JOIN nn
       ON s.rn <= greatest({IVF_MIN_CENTROIDS}, CAST(ceil(sqrt(nn.n)) AS INT))),
-    cq AS (SELECT cent.cid, q.d, q.qv AS cqv FROM q JOIN cent ON q.vec_id = cent.cid),
+    cq0 AS (SELECT cent.cid, q.d, q.qv AS cqv FROM q JOIN cent ON q.vec_id = cent.cid),
     norms AS (SELECT vec_id, sum(qv * qv) AS nsq FROM q GROUP BY 1),
-    score0 AS (
+    cnorm0 AS (SELECT cid, sum(cqv * cqv) AS nsq FROM cq0 GROUP BY 1)"""
+    rounds_sql = []
+    for r in range(rounds):
+        rounds_sql.append(f""",
+    score{r} AS (
       SELECT dt.vec_id, dt.cid,
              dt.dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) AS cos
-      FROM (SELECT q.vec_id, cq.cid, sum(q.qv * cq.cqv) AS dot
-            FROM q JOIN cq ON q.d = cq.d GROUP BY 1, 2) dt
+      FROM (SELECT q.vec_id, cq{r}.cid, sum(q.qv * cq{r}.cqv) AS dot
+            FROM q JOIN cq{r} ON q.d = cq{r}.d GROUP BY 1, 2) dt
       JOIN norms nv ON dt.vec_id = nv.vec_id
-      JOIN norms nc ON dt.cid = nc.vec_id),
-    assign0 AS (
+      JOIN cnorm{r} nc ON dt.cid = nc.cid),
+    assign{r} AS (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score0) s
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score{r}) s
       WHERE rn = 1),
-    cq2 AS (
+    cq{r + 1} AS (
       SELECT a.cid, q.d,
              CAST(floor(CAST(sum(q.qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                         + 0.5) AS BIGINT) AS cqv
-      FROM assign0 a JOIN q ON q.vec_id = a.vec_id
+      FROM assign{r} a JOIN q ON q.vec_id = a.vec_id
       GROUP BY 1, 2),
-    cnorm2 AS (SELECT cid, sum(cqv * cqv) AS nsq FROM cq2 GROUP BY 1),
-    score1 AS (
+    cnorm{r + 1} AS (SELECT cid, sum(cqv * cqv) AS nsq FROM cq{r + 1} GROUP BY 1)""")
+    fin = rounds
+    tail = f""",
+    scoreF AS (
       SELECT dt.vec_id, dt.cid,
-             dt.dot / (sqrt(nv.nsq) * sqrt(c2.nsq)) AS cos
-      FROM (SELECT q.vec_id, cq2.cid, sum(q.qv * cq2.cqv) AS dot
-            FROM q JOIN cq2 ON q.d = cq2.d GROUP BY 1, 2) dt
+             dt.dot / (sqrt(nv.nsq) * sqrt(nc.nsq)) AS cos
+      FROM (SELECT q.vec_id, cq{fin}.cid, sum(q.qv * cq{fin}.cqv) AS dot
+            FROM q JOIN cq{fin} ON q.d = cq{fin}.d GROUP BY 1, 2) dt
       JOIN norms nv ON dt.vec_id = nv.vec_id
-      JOIN cnorm2 c2 ON dt.cid = c2.cid),
-    assign1 AS (
+      JOIN cnorm{fin} nc ON dt.cid = nc.cid),
+    assignF AS (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM score1) s
-      WHERE rn = 1),
-    probes1 AS (
+          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM scoreF) s
+      WHERE rn <= {assign_a}),
+    probesF AS (
       SELECT vec_id AS query_id, cid FROM (
         SELECT vec_id, cid, row_number() OVER (
           PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-        FROM score1 WHERE vec_id < {KNN_QUERIES}) s
-      WHERE rn <= {IVF_NPROBE}),
+        FROM scoreF WHERE vec_id < {KNN_QUERIES}) s
+      WHERE rn <= {nprobe}),
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings),
     cand AS (
-      SELECT p.query_id, asn.vec_id AS neighbor_id
-      FROM probes1 p JOIN assign1 asn ON p.cid = asn.cid
+      SELECT DISTINCT p.query_id, asn.vec_id AS neighbor_id
+      FROM probesF p JOIN assignF asn ON p.cid = asn.cid
       WHERE asn.vec_id <> p.query_id),
     scored AS (
       SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cos
@@ -542,18 +582,17 @@ _IVF_REFINED_SQL = f"""
     SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
     FROM r WHERE rank <= {KNN_K}
 """
+    return head + "".join(rounds_sql) + tail
 
 
-@q("ann_ivf_refined", _IVF_REFINED_SQL)
-def ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
-    quant = _ivf_quant(spark, sf)
-    n_cent = ivf_centroids(_n_vectors(spark, sf))
-    seed = _ivf_seed_centroids(quant, n_cent)
-    assign0 = quant.mapInPandas(_ivf_assigner(seed, 1), _IVF_OUT_SCHEMA)
-    # the train step: per-cell integer means as 64 aggregate COLUMNS in one
-    # cid-keyed groupBy (map-side partial sums), floored JVM-side with the
-    # exact arithmetic the oracle uses
-    sums = assign0.join(quant, "vec_id").groupBy("cid").agg(
+def _ivf_lloyd_round(quant: DataFrame, cent_rows: list) -> list:
+    """One k-means train step: argmax-assign the corpus against the given
+    quantizer (Arrow-batched, integer-exact), then per-cell integer means
+    as 64 aggregate COLUMNS in one cid-keyed groupBy (map-side partial
+    sums), floored JVM-side with the exact arithmetic the oracle uses. The
+    collect is the sanctioned C·64-int quantizer model state."""
+    assign_df = quant.mapInPandas(_ivf_assigner(cent_rows, 1), _IVF_OUT_SCHEMA)
+    sums = assign_df.join(quant, "vec_id").groupBy("cid").agg(
         F.count("*").alias("cnt"),
         *[
             F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
@@ -572,8 +611,23 @@ def ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
             ]
         ).alias("qv"),
     ).collect()
-    refined = sorted((int(r["cid"]), list(r["qv"])) for r in refined_rows)
-    return _ivf_search(spark, sf, quant, refined)
+    return sorted((int(r["cid"]), list(r["qv"])) for r in refined_rows)
+
+
+@q(
+    "ann_ivf_refined",
+    _ivf_refined_sql(_IVF_REFINE_ROUNDS, _IVF_ASSIGN, _IVF_REFINED_NPROBE),
+)
+def ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
+    quant = _ivf_quant(spark, sf)
+    n_cent = ivf_centroids(_n_vectors(spark, sf))
+    cent = _ivf_seed_centroids(quant, n_cent)
+    for _ in range(_IVF_REFINE_ROUNDS):
+        cent = _ivf_lloyd_round(quant, cent)
+    return _ivf_search(
+        spark, sf, quant, cent,
+        assign_a=_IVF_ASSIGN, nprobe=_IVF_REFINED_NPROBE,
+    )
 
 
 # ---------------------------------------------------------------------------
