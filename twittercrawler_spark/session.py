@@ -117,3 +117,31 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Fork and import-warm the session's Python worker pool.
+
+    The first pandas-UDF job after a session starts pays a worker spawn
+    storm: the pyspark daemon forks one worker per task slot and each fork
+    imports pandas+pyarrow (measured ~37 s for the first ``mapInPandas``
+    action at local[32] vs ~1 s steady-state on the same input). One tiny
+    map-only job with a task per slot moves that cost out of any measured
+    or latency-sensitive section — the same role container/executor
+    pre-warming plays on a real cluster, where the pool outlives any one
+    job. With ``spark.python.worker.reuse`` (default on) every later
+    pandas-UDF task lands on a warm worker.
+    """
+    if n is None:
+        n = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        yield from batches
+
+    (
+        spark.range(n, numPartitions=n)
+        .mapInPandas(_touch, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
