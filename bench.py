@@ -236,8 +236,11 @@ def _phase_crawl(cores: int) -> dict:
         extra_conf=BENCH_CONF,
     )
     warm_python_workers(spark)
+    # 4 trials, min: JIT warmup keeps improving rounds through ~trial 3 in a
+    # fresh JVM (a long-lived production crawler is permanently warm), and
+    # min-of-4 also rides out more of the sandbox's minute-scale host noise
     with HostNoise() as hc:
-        crawl = bench_crawl(spark, corpus, trials=2)
+        crawl = bench_crawl(spark, corpus, trials=4)
     spark.stop()
     crawl["crawl_steal_pct"] = hc.steal_pct
     crawl["crawl_sys_pct"] = hc.sys_pct

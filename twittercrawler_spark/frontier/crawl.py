@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import (
@@ -85,37 +85,23 @@ def _metrics_schema():
     )
 
 
-# Per-bucket lineage counts ride the write jobs as Observation expressions
-# (one count-if per bucket, whole-stage-codegen'd) instead of separate
-# aggregation jobs — each job launch is a fixed slice of the per-round serial
-# floor that bounds small-round scaling efficiency. The expression count is
-# linear in num_buckets, so past this cap the round falls back to the fused
-# aggregation job: at bucket counts that large, rounds are data-bound and one
-# extra job is noise.
-_OBS_MAX_BUCKETS = 256
+# Per-bucket lineage counts run as dedicated hash-aggregation jobs over
+# NARROW projections (host_bucket [+ discovered_round]), never as Observation
+# expressions fused onto the write jobs. Measured (same-window alternating
+# A/B at 64 buckets, local[32]): the fused CollectMetrics variant costs
+# ~2.3 s/round MORE — its per-bucket sum(when) expressions are interpreted
+# (no whole-stage codegen) and O(num_buckets) per row, while a codegen'd
+# groupBy(host_bucket).count() is O(1) per row and its input scan is
+# column-pruned to integer columns. The job launches it saves are ~0.1-0.3 s
+# of driver floor, amortized at production round sizes anyway.
 
 
-def _bucket_obs_exprs(num_buckets: int, prefix: str, pred=None) -> list:
-    out = []
-    for b in range(num_buckets):
-        cond = F.col("host_bucket") == F.lit(b)
-        if pred is not None:
-            cond = cond & pred
-        out.append(
-            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias(f"{prefix}{b}")
-        )
-    return out
-
-
-def _obs_counts(values: dict, num_buckets: int, prefix: str) -> dict[int, int]:
-    """Non-zero per-bucket counts from an Observation result (groupBy-count
-    semantics: absent buckets emit no row)."""
+def _bucket_counts(df: DataFrame) -> dict[int, int]:
+    """Per-host_bucket row counts (groupBy-count semantics: absent buckets
+    emit no entry). One codegen'd hash-agg job over a narrow projection."""
     return {
-        b: int(values[f"{prefix}{b}"])
-        for b in range(num_buckets)
-        if values.get(f"{prefix}{b}") and int(values[f"{prefix}{b}"]) > 0
+        int(r["host_bucket"]): int(r["n"])
+        for r in df.groupBy("host_bucket").agg(F.count("*").alias("n")).collect()
     }
 
 
@@ -192,27 +178,14 @@ def bootstrap(
         "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
     )
     # round-0 lineage: per-bucket frontier counts — round 1 reads these as
-    # its "candidates" stage instead of rescanning the frontier. The counts
-    # ride the frontier write as an Observation (no separate count job) and
+    # its "candidates" stage instead of rescanning the frontier. The count
+    # job rescans only the two integer columns of the table just written;
     # the metadata-scale metrics table is written driver-side (no job).
-    use_obs = cfg.num_buckets <= _OBS_MAX_BUCKETS
-    if use_obs:
-        obs0 = Observation()
-        seeds_out = seeds_out.observe(obs0, *_bucket_obs_exprs(cfg.num_buckets, "b"))
     wh.write("frontier", seeds_out, 0)
 
     robots = spark.read.parquet(robots_path)
     wh.write("robots", robots, 0)
-    if use_obs:
-        counts0 = _obs_counts(obs0.get, cfg.num_buckets, "b")
-    else:
-        counts0 = {
-            int(r["host_bucket"]): int(r["n"])
-            for r in wh.read_uncommitted(spark, "frontier", 0)
-            .groupBy("host_bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+    counts0 = _bucket_counts(wh.read_uncommitted(spark, "frontier", 0))
     wh.write_rows(
         "metrics",
         0,
@@ -279,8 +252,11 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     )
     selected = with_global_sequence(selected, seq_start)
     # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
-    # checkpoint once; its count arrives with the end-of-round metrics job
+    # checkpoint once; ONE count job over the checkpointed narrow rows serves
+    # both the Bloom-sidecar capacity planner (n_new per bucket) and the
+    # "selected" lineage metrics — the seen rows ARE the schedule slice
     selected = selected.localCheckpoint(eager=True)
+    sel_counts = _bucket_counts(selected)
     tm.lap("schedule")
 
     # The seen-table write and the Bloom-sidecar update depend ONLY on the
@@ -293,44 +269,21 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
     prev_meta = {int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()}
 
-    use_obs = cfg.num_buckets <= _OBS_MAX_BUCKETS
-
     def _seen_and_sidecar() -> dict[int, tuple[int, int]]:
         t0 = time.time()
         seen_out = selected.select("url", "url_hash", "host_bucket")
-        obs_seen = None
-        if use_obs:
-            # per-bucket counts of this round's hashes ride the seen write as
-            # an Observation — one job instead of write + count
-            obs_seen = Observation()
-            seen_out = seen_out.observe(
-                obs_seen, *_bucket_obs_exprs(cfg.num_buckets, "s")
-            )
         wh.write("seen", seen_out, rnd)
         new_hashes = selected.select("host_bucket", "url_hash")
         if seen_prior is not None and (sidecar_prev is None or not prev_meta):
             # resume from a pre-sidecar warehouse (rare): rebuild every
             # bucket from the full seen set
             full = seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
-            counts = {
-                int(r["host_bucket"]): int(r["n"])
-                for r in full.groupBy("host_bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            bloom_meta, _ = plan_update({}, counts)
+            bloom_meta, _ = plan_update({}, _bucket_counts(full))
             sidecar_next = update_bloom_sidecar(full, None)
         else:
-            if obs_seen is not None:
-                n_new = _obs_counts(obs_seen.get, cfg.num_buckets, "s")
-            else:
-                n_new = {
-                    int(r["host_bucket"]): int(r["n"])
-                    for r in new_hashes.groupBy("host_bucket")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-            bloom_meta, overflow = plan_update(prev_meta, n_new)
+            # n_new per bucket == the schedule slice's counts (the seen rows
+            # ARE the selected rows) — reuse the shared sel_counts job
+            bloom_meta, overflow = plan_update(prev_meta, sel_counts)
             full = (
                 seen_prior.select("host_bucket", "url_hash").unionByName(new_hashes)
                 if overflow
@@ -410,14 +363,6 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "seq", "url", "host", "host_bucket", "status", "text", "lang",
             "priority", "links",
         )
-        obs_sel = None
-        if use_obs:
-            # the "selected" lineage counts ride the fetch write (hit ∪ miss
-            # is exactly the schedule slice) — no separate count job
-            obs_sel = Observation()
-            fetch_out = fetch_out.observe(
-                obs_sel, *_bucket_obs_exprs(cfg.num_buckets, "c")
-            )
         wh.write("fetch_log", fetch_out, rnd, row_group_bytes=PAGE_ROW_GROUP_BYTES)
         fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd, fetch_out.schema)
         tm.lap("fetch+extract+write")
@@ -462,31 +407,16 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
         ).unionByName(new_pending)
         frontier_next = frontier_next.repartition(cfg.num_buckets, "host_bucket")
-        obs_fr = None
-        if use_obs:
-            # frontier_next + new_links lineage counts ride the frontier write
-            obs_fr = Observation()
-            frontier_next = frontier_next.observe(
-                obs_fr,
-                *_bucket_obs_exprs(cfg.num_buckets, "f"),
-                *_bucket_obs_exprs(
-                    cfg.num_buckets, "l", pred=F.col("discovered_round") == rnd
-                ),
-            )
         wh.write("frontier", frontier_next, rnd)
         tm.lap("expand+frontier_write")
 
         # per-partition lineage metrics (north rule): per-host_bucket counts
         # at each stage of this round. candidates = last round's frontier_next
         # lineage (metadata-scale driver read — the frontier is never
-        # rescanned just to count it); selected rode the fetch write;
-        # frontier_next/new_links rode the frontier write. No dedicated
-        # metrics job remains on the main path — each count is an Observation
-        # on a write the round runs anyway (the fused-aggregation fallback
-        # below covers bucket counts past the observation cap and pre-lineage
-        # resumes). The Bloom-sidecar plan needs its per-bucket counts
-        # EARLIER, so the overlapped thread observes its own seen write —
-        # that duplication is what buys the fetch-stage overlap.
+        # rescanned just to count it); selected = the shared sel_counts job
+        # (also the sidecar planner's n_new — the seen rows ARE the schedule
+        # slice); frontier_next/new_links = ONE hash-agg job whose scan is
+        # column-pruned to two integer columns of the table just written.
         prev_rows = wh.read_rows("metrics", rnd - 1)
         if prev_rows is not None:
             cand_counts = {
@@ -495,41 +425,24 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
                 if r["stage"] == "frontier_next"
             }
         else:  # pre-lineage warehouse resume: count the pending frontier directly
-            cand_counts = {
-                int(r["host_bucket"]): int(r["n"])
-                for r in pending.groupBy("host_bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-        if use_obs:
-            sel_counts = _obs_counts(obs_sel.get, cfg.num_buckets, "c")
-            fr_values = obs_fr.get
-            fn_counts = _obs_counts(fr_values, cfg.num_buckets, "f")
-            nl_counts = _obs_counts(fr_values, cfg.num_buckets, "l")
-        else:
-            frontier_written = wh.read_uncommitted(
-                spark, "frontier", rnd, frontier_next.schema
+            cand_counts = _bucket_counts(pending)
+        frontier_written = wh.read_uncommitted(
+            spark, "frontier", rnd, frontier_next.schema
+        )
+        fn_counts, nl_counts = {}, {}
+        for r in (
+            frontier_written.groupBy("host_bucket")
+            .agg(
+                F.count("*").alias("fn"),
+                F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
+                .cast("bigint")
+                .alias("nl"),
             )
-            sel_counts = {
-                int(r["host_bucket"]): int(r["n"])
-                for r in selected.groupBy("host_bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            fn_counts, nl_counts = {}, {}
-            for r in (
-                frontier_written.groupBy("host_bucket")
-                .agg(
-                    F.count("*").alias("fn"),
-                    F.sum(F.when(F.col("discovered_round") == rnd, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("nl"),
-                )
-                .collect()
-            ):
-                fn_counts[int(r["host_bucket"])] = int(r["fn"])
-                if int(r["nl"]) > 0:
-                    nl_counts[int(r["host_bucket"])] = int(r["nl"])
+            .collect()
+        ):
+            fn_counts[int(r["host_bucket"])] = int(r["fn"])
+            if int(r["nl"]) > 0:
+                nl_counts[int(r["host_bucket"])] = int(r["nl"])
         collected = [
             {"host_bucket": b, "stage": stage, "n": n}
             for stage, counts in (
