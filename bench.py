@@ -80,6 +80,9 @@ _DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 BENCH_CONF = {
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.driver.extraJavaOptions": f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
+    # keep stdout/stderr clean: the driver records the output tail, and
+    # stage progress bars would bury the JSON line
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
@@ -207,18 +210,24 @@ def _phase_queries(cpus: int, sf_dir: str) -> dict:
     warm_python_workers(spark)
     timings: dict[str, float] = {}
     with HostNoise() as hq:
-        for name in HEADLINE:
-            fn = ALL_QUERIES[name]
-            # best of 2 with a FRESH plan per trial (new DataFrame lineage — no
-            # shuffle/exchange reuse across trials): the sandbox VM has noisy
-            # neighbors and the metric of interest is the engine's steady-state
-            # time, not the host's jitter. Warm OS page cache is deliberate.
-            best = float("inf")
-            for _ in range(2):
+        # best of 2 with a FRESH plan per trial (new DataFrame lineage — no
+        # shuffle/exchange reuse across trials): the sandbox VM has noisy
+        # neighbors and the metric of interest is the engine's steady-state
+        # time, not the host's jitter. Warm OS page cache is deliberate.
+        # Trials run as INTERLEAVED full passes (all queries, then all again)
+        # rather than back-to-back per query: host-noise bursts last minutes,
+        # so back-to-back trials of one query land in the same burst, while a
+        # pass apart the min() usually catches a clean window (BENCH_r04's
+        # first run recorded knn_bruteforce 6.5 s in a 20%-sys window vs
+        # 0.58 s isolated — same binary, same data).
+        best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+        for _ in range(2):
+            for name in HEADLINE:
+                fn = ALL_QUERIES[name]
                 t0 = time.time()
                 _force(fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                best[name] = min(best[name], time.time() - t0)
+        timings = {name: round(v, 3) for name, v in best.items()}
     spark.stop()
     return {
         "queries": timings,
