@@ -73,6 +73,11 @@ class _StageTimer:
 
 _PATH_RE = r"^[a-z0-9+.-]+://[^/]+(/[^?]*)"
 
+# collision sets up to this many canonical urls are broadcast to split the
+# corpus around them (urls are ~100 B, so the ceiling is a few MB of driver /
+# executor memory); beyond it bootstrap falls back to the full-corpus window
+_DUP_BROADCAST_LIMIT = 100_000
+
 
 _HOST_RE = r"^[a-z0-9+.-]+://([^/?#]+)"
 
@@ -148,12 +153,44 @@ def bootstrap(
         .withColumn("url", udf_canonicalize(F.col("url")))
         .filter(F.col("url").isNotNull())
     )
-    # defensive dedup if two raw spellings canonicalize identically: keep the
-    # earliest (warc_ts, url_raw) — a computed rule, not task order
-    w = Window.partitionBy("url").orderBy("warc_ts", "url_raw")
-    canon = (
-        canon.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # Defensive dedup if two raw spellings canonicalize identically: keep the
+    # earliest (warc_ts, url_raw) — a computed rule, not task order. A window
+    # over url would shuffle the FULL corpus (html bytes) a second time on top
+    # of the host_bucket clustering below, so probe for duplicates first on a
+    # column-pruned url-only scan (~0.3% of corpus bytes at ~28 KB/page):
+    # clean corpora (the common case — WARC inputs are url-unique) skip the
+    # dedup shuffle entirely, and when collisions exist only the colliding
+    # slice — routed out by a broadcast join — pays the window.
+    dup_urls = (
+        raw.select(udf_canonicalize(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("url")
     )
+    n_dup = dup_urls.limit(_DUP_BROADCAST_LIMIT + 1).count()
+    if n_dup > 0:
+        w = Window.partitionBy("url").orderBy("warc_ts", "url_raw")
+        if n_dup <= _DUP_BROADCAST_LIMIT:
+            # metadata-scale collision set: split the corpus around it so the
+            # row_number shuffle moves only colliding rows
+            dup_urls = F.broadcast(dup_urls.localCheckpoint(eager=True))
+            winners = (
+                canon.join(dup_urls, "url", "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            canon = canon.join(dup_urls, "url", "left_anti").unionByName(winners)
+        else:
+            # adversarial corpus (collisions beyond broadcast scale): fall
+            # back to the full-corpus window
+            canon = (
+                canon.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
     canon = _with_url_cols(canon, cfg.num_buckets, cfg.salt_sub_buckets)
     # cluster the corpus by host_bucket so per-round fetch joins and seen
     # probes co-locate (the Iceberg partition-spec analog)
