@@ -179,43 +179,54 @@ def _srp_buckets(spark: SparkSession, sf: str, n_tables: int) -> DataFrame:
 
     The plane count is srp_planes(corpus count) — a metadata-cheap count()
     over the parquet scan, the same number the oracle's nv CTE computes.
-    Plane signs are a tiny literal dimension (T·P·64 rows) broadcast against
-    the posexploded quantized vectors; projection + sign-bit packing are one
-    broadcast join + two map-side-combinable groupBys — all codegen, no
-    Python crossing, shuffle keyed on vec_id (linear in corpus size)."""
-    emb = t(spark, sf, "embeddings")
+    The plane-sign matrix is MODEL STATE, exactly like the IVF quantizer: a
+    64×(T·P) ±1 matrix (≤ a few KB) built driver-side from the shared md5
+    base hash and closed over one Arrow-batched matmul pass — MAP-ONLY, no
+    shuffle: every vector's T·P quantized projections come from one int64
+    ``Q @ S`` per batch, so the bucketing stage shuffles nothing at any
+    corpus size. (The previous form posexploded to n·64 rows, broadcast-
+    joined a (t,j,d) dim, and ran two n·T·P-row aggregations — the same
+    integer dots at ~100× the per-element cost plus a vec_id-keyed shuffle.)
+    Quantization (round(x·1000) HALF-UP, matching both engines' round())
+    keeps the dots exact-integer, so buckets stay bit-identical to the
+    oracle's."""
+    import numpy as np
+    import pandas as pd
+
     n_planes = srp_planes(_n_vectors(spark, sf))
-    planes = F.broadcast(
-        spark.createDataFrame(
-            [
-                (tb, j, d, _sign_of(f"{tb}:{j}:{d}"))
-                for tb in range(n_tables)
-                for j in range(n_planes)
-                for d in range(1, 65)
-            ],
-            "t int, j int, d int, r int",
-        )
+    # S[d-1, t*P + j] = ±1 for plane (t, j), dim d — the md5-derived model
+    signs = np.array(
+        [
+            [_sign_of(f"{tb}:{j}:{d}") for tb in range(n_tables) for j in range(n_planes)]
+            for d in range(1, 65)
+        ],
+        dtype=np.int64,
     )
-    vq = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d0", "val")
-    ).select(
-        "vec_id",
-        (F.col("d0") + 1).alias("d"),
-        F.round(F.col("val").cast("double") * 1000, 0).cast("bigint").alias("q"),
-    )
-    proj = (
-        vq.join(planes, "d")
-        .groupBy("vec_id", "t", "j")
-        .agg(F.sum(F.col("q") * F.col("r")).alias("dot"))
-    )
-    return proj.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
+    bit_w = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    t_ids = np.arange(n_tables, dtype=np.int32)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+            # round-half-away-from-zero: the engines' round(x, 0) contract
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            dots = q @ signs  # (batch, T·P) exact int64
+            bits = (dots >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * bit_w).sum(axis=2, dtype=np.int64)  # (batch, T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "t": np.tile(t_ids, len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-        )
-        .cast("bigint")
-        .alias("bucket")
+
+    return (
+        t(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id bigint, t int, bucket bigint")
     )
 
 
