@@ -16,9 +16,12 @@ spec'd step and a `local[2]`→`local[8]` step, and reports the two honestly:
 
 Methodology: deterministic corpus (seed=42), frontier seeded with every URL
 so round 1 is a full fetch wave; warehouse bootstrapped once (unmetered) and
-copied per trial; Python workers warmed before metering; trials alternate
-across levels inside one process (noisy-neighbor drift hits all levels
-equally) and each level takes its minimum. An isolated scan→extract
+copied per trial; Python workers warmed before metering; each Spark-touching
+step runs in its own subprocess (one SparkContext per OS process — the
+multi-context accumulator-channel flake is structurally excluded and a
+crashed trial can't poison the run); trials alternate across levels
+(noisy-neighbor drift hits all levels equally) and each level takes its
+minimum. An isolated scan→extract
 measurement separates the compute path from the fixed per-round floor.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
@@ -134,17 +137,22 @@ def capture_stage_timings(cores: int, wh_base: str, cfg, trials: int = 2) -> dic
     return stages
 
 
-def main() -> None:
+def _cfg():
     import bench
-    from twittercrawler_spark.frontier.crawl import bootstrap, run_round
     from twittercrawler_spark.frontier.simulator import CrawlConfig
-    from twittercrawler_spark.functions.udfs import udf_preprocess_text
+
+    return CrawlConfig(per_host_per_round=bench.CRAWL_QUOTA, rounds=1, num_buckets=64)
+
+
+def _write_json(path: str, obj: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def _step_bootstrap(wh_base: str, corpus: str, out: str) -> None:
+    from twittercrawler_spark.frontier.crawl import bootstrap
     from twittercrawler_spark.sources.tables import Warehouse
 
-    corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
-    cfg = CrawlConfig(per_host_per_round=bench.CRAWL_QUOTA, rounds=1, num_buckets=64)
-
-    wh_base = tempfile.mkdtemp(prefix="scale_wh_base_")
     spark = _session(8)
     t0 = time.time()
     bootstrap(
@@ -153,47 +161,106 @@ def main() -> None:
         f"{corpus}/pages.parquet",
         f"{corpus}/seeds_all.parquet",
         f"{corpus}/robots.parquet",
-        cfg,
+        _cfg(),
     )
-    t_bootstrap = time.time() - t0
+    _write_json(out, {"bootstrap_sec": time.time() - t0})
     spark.stop()
+
+
+def _step_trial(cores: int, wh_base: str, out: str) -> None:
+    import bench
+    from pyspark.sql import functions as F
+
+    from twittercrawler_spark.frontier.crawl import run_round
+    from twittercrawler_spark.functions.udfs import udf_preprocess_text
+    from twittercrawler_spark.sources.tables import Warehouse
+
+    spark = _session(cores)
+    # warm python workers + JIT before metering
+    spark.range(0, 200_000, numPartitions=cores).select(
+        udf_preprocess_text(F.concat(F.lit("x \t y "), F.col("id").cast("string")))
+    ).count()
+    trial = tempfile.mkdtemp(prefix=f"scale_wh_{cores}_")
+    shutil.rmtree(trial)
+    shutil.copytree(wh_base, trial)
+    wh = Warehouse(trial)
+    t0 = time.time()
+    with bench.HostNoise() as hn:
+        run_round(spark, wh, _cfg(), 1)
+    dt = time.time() - t0
+    fetched = int(wh.round_info(1)["metrics"]["fetched"])
+    shutil.rmtree(trial, ignore_errors=True)
+    _write_json(out, {"sec": dt, "fetched": fetched, "noise": hn.steal_pct + hn.sys_pct})
+    spark.stop()
+
+
+_STEPS = {
+    "bootstrap": lambda a: _step_bootstrap(a["wh"], a["corpus"], a["out"]),
+    "trial": lambda a: _step_trial(int(a["cores"]), a["wh"], a["out"]),
+    "stages": lambda a: _write_json(
+        a["out"], capture_stage_timings(int(a["cores"]), a["wh"], _cfg())
+    ),
+    "extract": lambda a: _write_json(
+        a["out"], {"sec": measure_extract_stage(a["corpus"], int(a["cores"]))}
+    ),
+}
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if "--step" in argv:
+        # child mode: one step, ONE SparkContext, in a process of its own
+        args = {argv[i].lstrip("-"): argv[i + 1] for i in range(0, len(argv), 2)}
+        _STEPS[args["step"]](args)
+        return
+
+    import subprocess
+
+    import bench
+
+    corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
+    wh_base = tempfile.mkdtemp(prefix="scale_wh_base_")
+
+    # Every Spark-touching step runs in its OWN subprocess: one SparkContext
+    # per OS process. The default multi-context-per-process pattern left the
+    # pyspark accumulator channel (a single-threaded socket server whose
+    # handler dies permanently on one failed handshake) flooding long runs
+    # with DAGScheduler Broken-pipe stack traces; process isolation makes
+    # that structurally impossible and any one trial's crash non-fatal.
+    def run_step(step: str, **kw) -> dict:
+        fd, out = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        cmd = [sys.executable, os.path.abspath(__file__), "--step", step, "--out", out]
+        for k, v in kw.items():
+            cmd += [f"--{k}", str(v)]
+        subprocess.run(cmd, check=True)
+        with open(out) as f:
+            part = json.load(f)
+        os.unlink(out)
+        return part
+
+    t_bootstrap = run_step("bootstrap", wh=wh_base, corpus=corpus)["bootstrap_sec"]
 
     times: dict[int, list[float]] = {c: [] for c in LEVELS}
     noise: dict[int, list[float]] = {c: [] for c in LEVELS}
     fetched = None
     for _cycle in range(CYCLES):
         for cores in LEVELS:
-            spark = _session(cores)
-            # warm python workers + JIT before metering
-            from pyspark.sql import functions as F
-
-            spark.range(0, 200_000, numPartitions=cores).select(
-                udf_preprocess_text(F.concat(F.lit("x \t y "), F.col("id").cast("string")))
-            ).count()
-            trial = tempfile.mkdtemp(prefix=f"scale_wh_{cores}_")
-            shutil.rmtree(trial)
-            shutil.copytree(wh_base, trial)
-            wh = Warehouse(trial)
-            t0 = time.time()
-            with bench.HostNoise() as hn:
-                run_round(spark, wh, cfg, 1)
-            noise[cores].append(hn.steal_pct + hn.sys_pct)
-            times[cores].append(time.time() - t0)
-            f = int(wh.round_info(1)["metrics"]["fetched"])
-            assert fetched is None or fetched == f, "nondeterministic round"
-            fetched = f
-            shutil.rmtree(trial, ignore_errors=True)
-            spark.stop()
+            r = run_step("trial", cores=cores, wh=wh_base)
+            times[cores].append(r["sec"])
+            noise[cores].append(r["noise"])
+            assert fetched is None or fetched == r["fetched"], "nondeterministic round"
+            fetched = r["fetched"]
 
     # per-stage decomposition of the spec'd 8→32 step (written to STAGES.md)
-    stages_8 = capture_stage_timings(8, wh_base, cfg)
-    stages_32 = capture_stage_timings(32, wh_base, cfg)
+    stages_8 = run_step("stages", cores=8, wh=wh_base)
+    stages_32 = run_step("stages", cores=32, wh=wh_base)
     shutil.rmtree(wh_base, ignore_errors=True)
 
     # compute-path isolation at both steps
-    ex_2 = measure_extract_stage(corpus, 2)
-    ex_8 = measure_extract_stage(corpus, 8)
-    ex_32 = measure_extract_stage(corpus, 32)
+    ex_2 = run_step("extract", cores=2, corpus=corpus)["sec"]
+    ex_8 = run_step("extract", cores=8, corpus=corpus)["sec"]
+    ex_32 = run_step("extract", cores=32, corpus=corpus)["sec"]
     ex_eff = (ex_2 / ex_8) / 4
     ex_eff_32 = (ex_8 / ex_32) / 4
 
@@ -296,9 +363,10 @@ Bloom-sidecar commit (overlapped thread) → link expansion → frontier merge
 → lineage metrics) over a deterministic synthetic corpus
 ({b.SCALE_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
 ~{b.SCALE_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with
-EVERY url so round 1 is a full fetch wave. Same input, same seed,
-alternating trials across levels inside one process, best of {CYCLES} per
-level.
+EVERY url so round 1 is a full fetch wave. Same input, same seed, each
+metered trial in a FRESH OS process (one SparkContext per process — fully
+warmed before metering), alternating across levels so noisy-neighbor drift
+hits all levels equally; best of {CYCLES} per level.
 
 | parallelism | urls fetched | round secs (trials) | best | throughput (urls/s) | host steal+sys % (trials) |
 |---|---|---|---|---|---|

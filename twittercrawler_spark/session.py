@@ -109,6 +109,16 @@ def get_spark(
         # v1 single-threaded rename of thousands of files IS the job tail
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Unix-domain sockets for the Python<->JVM side channels. The default
+        # TCP accumulator server is single-threaded and its handler dies
+        # PERMANENTLY on one failed auth handshake (pyspark/accumulators.py
+        # UpdateRequestHandler) — observed as an "EOF reached before Python
+        # server acknowledged" followed by endless per-task "Broken pipe"
+        # DAGScheduler errors in long crawl benches. UDS skips the auth
+        # handshake entirely and is the Spark 4 local-channel fast path;
+        # driver and executor are host-local here and on any sane cluster
+        # layout (the conf only governs same-host sockets).
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
