@@ -62,19 +62,25 @@ def measure_extract_stage(corpus: str, cores: int, trials: int = 3) -> float:
     from pyspark.sql import functions as F
 
     from twittercrawler_spark.functions.udfs import udf_extract_text_links
+    from twittercrawler_spark.session import page_row_scan
 
     spark = _session(cores)
     best = float("inf")
-    for i in range(trials):
-        pages = spark.read.parquet(f"{corpus}/pages.parquet")
-        t0 = time.time()
-        (
-            pages.withColumn("_ex", udf_extract_text_links("html"))
-            .select((F.length("_ex.text") + i).alias("L"))
-            .agg(F.sum("L"))
-            .collect()
-        )
-        best = min(best, time.time() - t0)
+    # page_row_scan: this reads the RAW corpus (~28 KB rows, not our 16 MB
+    # row groups), so the reader batch must be bounded here exactly as in
+    # bootstrap — at 32 concurrent tasks the 4096-row default feeds ~115 MB
+    # batches per task and kills the Python workers
+    with page_row_scan(spark):
+        for i in range(trials):
+            pages = spark.read.parquet(f"{corpus}/pages.parquet")
+            t0 = time.time()
+            (
+                pages.withColumn("_ex", udf_extract_text_links("html"))
+                .select((F.length("_ex.text") + i).alias("L"))
+                .agg(F.sum("L"))
+                .collect()
+            )
+            best = min(best, time.time() - t0)
     spark.stop()
     return best
 
@@ -153,6 +159,7 @@ def _step_bootstrap(wh_base: str, corpus: str, out: str) -> None:
     from twittercrawler_spark.frontier.crawl import bootstrap
     from twittercrawler_spark.sources.tables import Warehouse
 
+    shutil.rmtree(wh_base, ignore_errors=True)  # a crashed bootstrap's partial state
     spark = _session(8)
     t0 = time.time()
     bootstrap(
@@ -219,7 +226,12 @@ def main() -> None:
     import bench
 
     corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
-    wh_base = tempfile.mkdtemp(prefix="scale_wh_base_")
+    # deterministic scratch: a crashed/killed run resumes from its completed
+    # steps instead of re-paying bootstrap + every earlier metered trial
+    # (delete the dir for a fully fresh measurement)
+    scratch = os.path.join(tempfile.gettempdir(), "scale_steps_v1")
+    os.makedirs(scratch, exist_ok=True)
+    wh_base = os.path.join(scratch, "wh_base")
 
     # Every Spark-touching step runs in its OWN subprocess: one SparkContext
     # per OS process. The default multi-context-per-process pattern left the
@@ -227,40 +239,50 @@ def main() -> None:
     # handler dies permanently on one failed handshake) flooding long runs
     # with DAGScheduler Broken-pipe stack traces; process isolation makes
     # that structurally impossible and any one trial's crash non-fatal.
-    def run_step(step: str, **kw) -> dict:
-        fd, out = tempfile.mkstemp(suffix=".json")
-        os.close(fd)
-        cmd = [sys.executable, os.path.abspath(__file__), "--step", step, "--out", out]
-        for k, v in kw.items():
-            cmd += [f"--{k}", str(v)]
-        subprocess.run(cmd, check=True)
+    def run_step(step: str, key: str, **kw) -> dict:
+        out = os.path.join(scratch, f"{key}.json")
+        if not os.path.exists(out):
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--step", step,
+                "--out", out + ".tmp",
+            ]
+            for k, v in kw.items():
+                cmd += [f"--{k}", str(v)]
+            subprocess.run(cmd, check=True)
+            os.replace(out + ".tmp", out)
         with open(out) as f:
-            part = json.load(f)
-        os.unlink(out)
-        return part
+            return json.load(f)
 
-    t_bootstrap = run_step("bootstrap", wh=wh_base, corpus=corpus)["bootstrap_sec"]
+    if os.path.exists(os.path.join(scratch, "bootstrap.json")) and not os.path.isdir(
+        wh_base
+    ):
+        os.unlink(os.path.join(scratch, "bootstrap.json"))  # stale marker
+    t_bootstrap = run_step("bootstrap", "bootstrap", wh=wh_base, corpus=corpus)[
+        "bootstrap_sec"
+    ]
 
     times: dict[int, list[float]] = {c: [] for c in LEVELS}
     noise: dict[int, list[float]] = {c: [] for c in LEVELS}
     fetched = None
-    for _cycle in range(CYCLES):
+    for cycle in range(CYCLES):
         for cores in LEVELS:
-            r = run_step("trial", cores=cores, wh=wh_base)
+            r = run_step("trial", f"trial_{cores}_{cycle}", cores=cores, wh=wh_base)
             times[cores].append(r["sec"])
             noise[cores].append(r["noise"])
             assert fetched is None or fetched == r["fetched"], "nondeterministic round"
             fetched = r["fetched"]
 
     # per-stage decomposition of the spec'd 8→32 step (written to STAGES.md)
-    stages_8 = run_step("stages", cores=8, wh=wh_base)
-    stages_32 = run_step("stages", cores=32, wh=wh_base)
-    shutil.rmtree(wh_base, ignore_errors=True)
+    stages_8 = run_step("stages", "stages_8", cores=8, wh=wh_base)
+    stages_32 = run_step("stages", "stages_32", cores=32, wh=wh_base)
 
     # compute-path isolation at both steps
-    ex_2 = run_step("extract", cores=2, corpus=corpus)["sec"]
-    ex_8 = run_step("extract", cores=8, corpus=corpus)["sec"]
-    ex_32 = run_step("extract", cores=32, corpus=corpus)["sec"]
+    ex_2 = run_step("extract", "extract_2", cores=2, corpus=corpus)["sec"]
+    ex_8 = run_step("extract", "extract_8", cores=8, corpus=corpus)["sec"]
+    ex_32 = run_step("extract", "extract_32", cores=32, corpus=corpus)["sec"]
+    # completed: clear the scratch so the NEXT run measures fresh instead of
+    # replaying this run's cached steps
+    shutil.rmtree(scratch, ignore_errors=True)
     ex_eff = (ex_2 / ex_8) / 4
     ex_eff_32 = (ex_8 / ex_32) / 4
 
