@@ -414,7 +414,7 @@ scan→extract compute path gets **{ex_eff_32:.3f}**
 that used to INVERT this step (32 cores slower than 8 in absolute time):
 the parquet reader/writer batch buffers are sized for numeric rows and
 OOM/GC-thrashed at 32 concurrent tasks on page-sized rows; with both
-bounded (session.py) the heavy stages scale at the host ceiling — measured
+bounded — and since round 4 SCOPED to page-row tables (sources/tables.py row_group_bytes, session.page_row_scan on raw-corpus scans) — the heavy stages scale at the host ceiling — measured
 0.86 isolated-extract efficiency when the ceiling allowed it. What keeps
 the FULL round below the ceiling is the fixed per-round floor (scheduler
 windows, broadcast build, ~7 job launches) plus one shared local disk for
