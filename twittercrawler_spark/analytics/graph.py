@@ -23,7 +23,7 @@ plan holds with the label table bucketed on node — noted in BENCH notes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_ROUNDS = 3
@@ -101,7 +101,6 @@ def label_propagation(
     edges = _edges(spark, sf)
     # edges are reused every round: cache once, shuffle-partitioned on dst
     edges = edges.repartition("dst").cache()
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
     for _ in range(rounds):
         votes = (
             edges.join(
@@ -113,14 +112,24 @@ def label_propagation(
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count("*").alias("n"))
         )
-        ranked = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
-        top1 = ranked.filter(F.col("rk") == 1).select(
-            "node", F.col("label").alias("l1"), F.col("n").alias("n1")
+        # top-2 votes per node in ONE aggregation: a node has at most one
+        # row per distinct label (3 here, label-cardinality-bounded at any
+        # graph scale), so sort_array(collect_list(struct(-n, label))) is a
+        # tiny per-node array and ascending (-n, label) IS the oracle's
+        # ORDER BY n DESC, label — replacing the row_number window + two
+        # rank-filter self-joins (one shuffle and two joins per round).
+        top = votes.groupBy("node").agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("nn"), "label"))
+            ).alias("vs")
+        ).select(
+            "node",
+            F.col("vs")[0]["label"].alias("l1"),
+            (-F.col("vs")[0]["nn"]).alias("n1"),
+            F.when(F.size("vs") > 1, -F.col("vs")[1]["nn"]).alias("n2"),
         )
-        top2 = ranked.filter(F.col("rk") == 2).select("node", F.col("n").alias("n2"))
         labels = (
-            labels.join(top1, "node", "left")
-            .join(top2, "node", "left")
+            labels.join(top, "node", "left")
             .select(
                 "node",
                 F.when(F.col("is_seed"), F.col("label"))
