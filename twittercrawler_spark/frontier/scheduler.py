@@ -74,10 +74,11 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     which is quota-bounded rows-per-host and #hosts rows total — metadata
     scale) broadcast-joined back, plus the already-computed ``host_rank``.
     No row-level global sort, no Python crossing, no single-partition pass
-    over row data. The offsets prefix-sum itself is TWO-LEVEL (intra-prefix
-    running sum + per-prefix-group bases), so even the host-count table
-    never funnels through one task — only the prefix-group totals do, and
-    that table's size is capped by the 2-char prefix alphabet.
+    at all. The offsets prefix-sum itself is TWO-LEVEL (intra-prefix
+    running sum + per-prefix-group bases via a broadcast theta-join), so
+    neither the host-count table nor the prefix-group totals funnel
+    through one task; the totals table is capped by the 2-char prefix
+    alphabet.
     """
     counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
     # TWO-LEVEL running sum (the documented treatment, now implemented):
@@ -96,21 +97,21 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = counts.withColumn("_ibase", F.coalesce(F.sum("_cnt").over(wi), F.lit(0)))
-    # group totals: bounded rows; the single-partition window here is over
-    # that hard-capped table, so it is genuinely metadata-scale by
-    # construction (the constant key is written non-foldably because
-    # Catalyst folds a plain lit(0) away and re-triggers the row-data
-    # window warning this design does NOT deserve).
-    wg = (
-        Window.partitionBy(F.coalesce(F.length("_g"), F.lit(0)) * 0)
-        .orderBy("_g")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # group bases: exclusive prefix sum over the one-row-per-prefix totals
+    # table, computed as a broadcast theta-join (sum of strictly-smaller
+    # groups) instead of an unpartitioned window. The table is hard-capped
+    # by the 2-char prefix alphabet (~1.6k rows → ≤2.6M broadcast-nested-
+    # loop comparisons, metadata scale), and unlike a constant-key window
+    # this stays spread across tasks and emits no single-partition warning
+    # — Catalyst constant-folds any foldable partition key back to empty.
+    totals = counts.groupBy("_g").agg(F.sum("_cnt").alias("_gcnt"))
+    prior = totals.select(
+        F.col("_g").alias("_g2"), F.col("_gcnt").alias("_gcnt2")
     )
     gbase = (
-        counts.groupBy("_g")
-        .agg(F.sum("_cnt").alias("_gcnt"))
-        .withColumn("_gbase", F.coalesce(F.sum("_gcnt").over(wg), F.lit(0)))
-        .select("_g", "_gbase")
+        totals.join(F.broadcast(prior), F.col("_g2") < F.col("_g"), "left")
+        .groupBy("_g")
+        .agg(F.coalesce(F.sum("_gcnt2"), F.lit(0)).alias("_gbase"))
     )
     offsets = (
         intra.join(F.broadcast(gbase), "_g")
