@@ -62,3 +62,23 @@ def test_sequence_stable_across_parallelism(spark):
     a = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(2), 0).collect()}
     b = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(16), 0).collect()}
     assert a == b
+
+
+def test_sequence_plan_has_no_unpartitioned_window(spark):
+    """No Window node in the fetch-sequence plan may have an empty
+    partition spec: at 10^10 frontier URLs a single-partition window is
+    the job tail. The level-2 prefix sum is a broadcast theta-join over
+    the alphabet-capped group-totals table precisely so this stays true
+    (a constant partition key does NOT count — Catalyst folds it back to
+    an empty spec and Spark warns at runtime)."""
+    import re
+
+    cands = _candidates(spark, n=300)
+    seq = with_global_sequence(select_per_host_topk(cands, 2), start_at=0)
+    plan = seq._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[[^\]]*\](.*)", plan):
+        rest = m.group(1)
+        # physical Window prints: Window [exprs], [partitionSpec], [orderSpec]
+        assert re.search(r",\s*\[[^\]]+\]\s*,", rest), (
+            "unpartitioned Window in fetch-sequence plan:\n" + plan
+        )
