@@ -84,12 +84,13 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     # TWO-LEVEL running sum (the documented treatment, now implemented):
     # hosts group by their 2-char prefix — prefix groups are CONTIGUOUS in
     # host-asc order, so the global prefix-sum decomposes exactly into
-    # (intra-group running sum, partitioned ≤ ~40² ways) + (group base, a
-    # running sum over the one-row-per-group totals table). Only the GROUP
-    # table ever crosses a single-partition window, and its size is
-    # hard-capped by the prefix alphabet — never by how many hosts a round
-    # schedules. Prefix skew (many hosts sharing a prefix) only costs
-    # balance within level 1, never exactness.
+    # (intra-group running sum, partitioned ≤ ~40² ways) + (group base, an
+    # exclusive prefix sum over the one-row-per-group totals table via a
+    # broadcast theta-join — see below). Nothing crosses a single
+    # partition; the group table's size is hard-capped by the prefix
+    # alphabet, never by how many hosts a round schedules. Prefix skew
+    # (many hosts sharing a prefix) only costs balance within level 1,
+    # never exactness.
     counts = counts.withColumn("_g", F.substring("host", 1, 2))
     wi = (
         Window.partitionBy("_g")
