@@ -161,12 +161,26 @@ def test_knn_broadcasts_queries(spark):
 
 
 def test_curation_pipeline_pushdown(spark):
-    """The language gate must reach every documents scan (pushdown), and
-    the token-feature aggregation must map-side combine."""
-    plan = plan_of(spark, "curation_pipeline")
-    scans = plan.split("PushedFilters")[1:]
+    """The language gate must be pushed to the one documents scan (the
+    per-doc feature frame that the pipeline checkpoints), the feature
+    extraction must be map-only (no shuffle before the checkpoint), and
+    the pipeline's report aggregation must map-side combine."""
+    from twittercrawler_spark.analytics.curation import curation_doc_frame
+
+    fp = (
+        curation_doc_frame(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = fp.split("PushedFilters")[1:]
     lang_pushed = [s.split("]")[0] for s in scans if "lang" in s.split("]")[0]]
     assert lang_pushed, "lang = en must be pushed to the parquet scan"
+    # t_split's round-robin splitter (test-parallelism helper) is the only
+    # allowed exchange; a hashpartitioning here would mean the features
+    # aggregate/shuffle instead of evaluating per-row
+    assert "hashpartitioning" not in fp, "feature extraction must be map-only"
+    plan = plan_of(spark, "curation_pipeline")
     assert plan.count("HashAggregate") >= 2
 
 

@@ -82,58 +82,75 @@ _CUR_SQL = f"""
 """
 
 
-@q("curation_pipeline", _CUR_SQL)
-def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    cand = (
+def curation_doc_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc gate features in ONE pass over the text bytes: every
+    feature (token count, distinct-token ratio, stopword ratio, exact-dup
+    hash) is a per-row array expression over the split tokens, so the
+    heavy column is scanned once (lang filter pushed to the scan,
+    test_plans pin) and nothing row-scale ever shuffles — the oracle's
+    explode+groupBy is the semantic definition, this is its map-only
+    evaluation (values identical: size/array_distinct/filter over the
+    same token multiset, same double arithmetic, same round)."""
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and"]])
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    n = F.size(tk).cast("double")
+    quality = F.round(
+        0.5 * (F.size(F.array_distinct(tk)).cast("double") / n)
+        + 0.5
+        * (
+            F.size(F.filter(tk, lambda x: F.array_contains(stop, x))).cast("double")
+            / n
+        ),
+        6,
+    )
+    return (
         t_split(spark, sf, "documents")
         .filter(F.col("lang") == CUR_LANG)
-        .select("doc_id", "text", "source")
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("hh"),
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            quality.alias("quality"),
+        )
     )
-    tok = cand.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk")
-    ).filter(F.col("tk") != "")
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and"]])
-    feat = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(
-            0.5 * (F.countDistinct("tk").cast("double") / F.count("*"))
-            + 0.5
-            * (
-                F.sum(F.when(F.array_contains(stop, F.col("tk")), 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.count("*")
-            ),
-            6,
-        ).alias("quality"),
-    )
-    gated = cand.join(feat, "doc_id").filter(
+
+
+@q("curation_pipeline", _CUR_SQL)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # Downstream (gated/canon/kept/report) runs on the narrow per-doc
+    # frame; a lazy checkpoint stops its three consumers from re-running
+    # the corpus scan + feature extraction. Interleaved A/B at sf0.1
+    # (results bit-identical): 0.76 s vs 1.42 s min-of-4; the plan goes
+    # 5 documents scans -> 1 (inside the checkpoint job, where the lang
+    # pushdown is pinned via curation_doc_frame).
+    d = curation_doc_frame(spark, sf).localCheckpoint(eager=False)
+    gated = d.filter(
         (F.col("n_tokens") >= CUR_MIN_TOKENS) & (F.col("quality") >= CUR_MIN_QUALITY)
     )
-    canon = (
-        gated.select(F.md5("text").alias("hh"), "doc_id")
-        .groupBy("hh")
-        .agg(F.min("doc_id").alias("canon_id"))
-    )
+    canon = gated.groupBy("hh").agg(F.min("doc_id").alias("canon_id"))
     # the canonical id IS a doc_id, so membership in the canon set selects
     # exactly one survivor per identical-text group
     kept = gated.join(
         canon.select(F.col("canon_id").alias("doc_id")), "doc_id", "left_semi"
     )
     return (
-        cand.join(
-            kept.select("doc_id", "n_tokens", "quality").withColumnRenamed(
-                "doc_id", "kept_id"
-            ),
-            cand["doc_id"] == F.col("kept_id"),
+        d.join(
+            kept.select("doc_id", "n_tokens", "quality")
+            .withColumnRenamed("doc_id", "kept_id")
+            .withColumnRenamed("n_tokens", "kept_tokens")
+            .withColumnRenamed("quality", "kept_quality"),
+            d["doc_id"] == F.col("kept_id"),
             "left",
         )
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_candidates"),
             F.count("kept_id").cast("bigint").alias("n_kept"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
-            F.round(F.avg("quality"), 6).alias("avg_quality_kept"),
+            F.coalesce(F.sum("kept_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            F.round(F.avg("kept_quality"), 6).alias("avg_quality_kept"),
         )
     )
 
