@@ -224,18 +224,21 @@ def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     SPAN_W-token spans that are within-doc duplicates; a doc keeps iff both
     are under the published thresholds.
 
-    Scale shape: two doc_id-keyed aggregations over token/span explodes —
-    strictly linear, shuffles only on doc_id (and the per-doc bigram key,
-    which is doc_id-prefixed so never skewed beyond one document's size).
-    No per-row Python; the mode-of-bigrams is the two-level
-    groupBy(doc,bigram) → groupBy(doc) max, not an in-row UDF.
+    Scale shape: MAP-ONLY — every statistic is a per-row array expression
+    (the oracle's explode+groupBy is the semantic definition; this is its
+    per-row evaluation). The span-dup ratio is size/array_distinct over
+    the doc's spans; the top-bigram count is a fold over the SORTED bigram
+    array (longest equal run == the mode count). Nothing shuffles at any
+    corpus size — the previous two-level bigram groupBy shuffled a row per
+    bigram occurrence, |tokens|-scale traffic this drops entirely
+    (interleaved A/B at sf0.1, results bit-identical: 0.35 s vs 0.94 s
+    min-of-3).
 
     Graft provenance: generalizes the reference's per-text cleanup gate
     (pages/Preprocess_scripts/PreprocessDump.py:84-89) to the corpus
     repetition filters a webtext pipeline runs before training.
     """
     base = t_split(spark, sf, "documents").select("doc_id", _tokens_col())
-    base = base.withColumn("n_tokens", F.size("tk").cast("bigint"))
     bigrams = F.when(
         F.size("tk") >= 2,
         F.expr(
@@ -243,33 +246,38 @@ def repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
             " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bstat = (
-        base.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    d = base.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.sort_array(bigrams).alias("bg"),
+        _spans_expr().alias("spans"),
     )
-    cstat = (
-        base.select("doc_id", F.explode(_spans_expr()).alias("span"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("nc"), F.countDistinct("span").alias("nd"))
+    # longest equal run in the sorted bigram array == max per-bigram count
+    mx = F.expr(
+        "aggregate(bg,"
+        " struct(cast(null as string) as prev, 0L as run, 0L as best),"
+        " (a, x) -> struct("
+        "   x as prev,"
+        "   CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN a.run + 1"
+        "        ELSE 1L END as run,"
+        "   greatest(a.best,"
+        "            CASE WHEN a.prev IS NOT NULL AND x = a.prev"
+        "                 THEN a.run + 1 ELSE 1L END) as best),"
+        " a -> a.best)"
     )
-    top_frac = F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0))
-    dup_frac = F.lit(1.0) - F.col("nd").cast("double") / F.col("nc")
-    return (
-        base.select("doc_id", "n_tokens")
-        .join(bstat, "doc_id", "left")
-        .join(cstat, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(top_frac, 6).alias("top_bigram_frac"),
-            F.round(dup_frac, 6).alias("dup_span_frac"),
-            (
-                (top_frac <= REP_MAX_TOP_BIGRAM) & (dup_frac <= REP_MAX_DUP_SPAN)
-            ).alias("keep"),
-        )
+    tot = F.size("bg").cast("bigint")
+    nc = F.size("spans").cast("bigint")
+    nd = F.size(F.array_distinct("spans")).cast("bigint")
+    top_frac = F.when(tot > 0, mx.cast("double") / tot).otherwise(F.lit(0.0))
+    dup_frac = F.lit(1.0) - nd.cast("double") / nc
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_span_frac"),
+        (
+            (top_frac <= REP_MAX_TOP_BIGRAM) & (dup_frac <= REP_MAX_DUP_SPAN)
+        ).alias("keep"),
     )
 
 
