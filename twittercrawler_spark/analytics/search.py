@@ -96,17 +96,42 @@ _TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
     """,
 )
 def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    # ONE pass over the text: doc length and the per-query-term counts are
+    # per-row array expressions (|query terms| is a literal handful), so
+    # the corpus is tokenized once into a narrow checkpointed frame —
+    # previously dl, stats, and tf each re-scanned and re-split the text
+    # (4 documents scans -> 1; interleaved A/B at sf0.1 min-of-4: 0.90 s
+    # vs 1.14 s, results identical). The (doc_id, tk, tf) relation the
+    # oracle aggregates falls out of an inline explode of the nonzero
+    # per-term counts — row count |docs containing a query term| ×
+    # |query terms|, same as before, but from the narrow frame.
     docs = t_split(spark, sf, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    d = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
-    stats = d.agg(
+    def _count_of(term):
+        # one-arg lambda per term (a two-arg lambda would be given the
+        # element INDEX as its second argument by F.filter)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("bigint")
+
+    tf_cols = [_count_of(t).alias(f"_tf_{i}") for i, t in enumerate(BM25_TERMS)]
+    perdoc = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), *tf_cols
+    ).localCheckpoint(eager=False)
+    d = perdoc.select("doc_id", "dl")
+    stats = perdoc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    tok = docs.select("doc_id", F.explode(toks).alias("tk")).filter(
-        F.col("tk").isin(*BM25_TERMS)
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("tk"), F.col(f"_tf_{i}").alias("tf"))
+            for i, t in enumerate(BM25_TERMS)
+        ]
     )
-    tf = tok.groupBy("doc_id", "tk").agg(F.count("*").cast("bigint").alias("tf"))
+    tf = (
+        perdoc.select("doc_id", F.explode(entries).alias("e"))
+        .filter(F.col("e.tf") > 0)
+        .select("doc_id", F.col("e.tk").alias("tk"), F.col("e.tf").alias("tf"))
+    )
     df_ = tf.groupBy("tk").agg(F.count("*").cast("bigint").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
