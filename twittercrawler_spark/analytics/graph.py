@@ -109,42 +109,51 @@ def label_propagation(
     )
     # edges are reused every round: cache once, shuffle-partitioned on dst
     edges = _edges(spark, sf, "dst").cache()
+    # The label domain is CLOSED by construction (seeds are 'L' || node % 3,
+    # non-seeds only ever adopt a seed-descended label), so per-node vote
+    # counting pivots into |domain| conditional counts in ONE codegen'd hash
+    # aggregation — no (src, label) pre-aggregation shuffle and no
+    # collect_list/sort_array ObjectHashAggregate. Top-1 / runner-up / the
+    # oracle's (n DESC, label ASC) tie-break all become column expressions
+    # over the three counts (second-largest-with-zeros == the oracle's
+    # coalesce(rk2.n, 0), since absent vote rows are exactly the zero counts).
+    domain = [f"L{i}" for i in range(3)]
+    cs = [F.col(f"c{i}") for i in range(len(domain))]
     for _ in range(rounds):
-        votes = (
+        # labels are node-sized (edge-count / avg-degree): broadcast into the
+        # cached edge scan so edges never shuffle. Past broadcast scale
+        # (~10^8+ nodes) drop the hint — edges are already hash-partitioned
+        # on dst, giving a co-located shuffle join with the same agg shape.
+        counts = (
             edges.join(
-                labels.filter(F.col("label") != "Unknown").select(
-                    F.col("node").alias("dst"), F.col("label")
+                F.broadcast(
+                    labels.filter(F.col("label") != "Unknown").select(
+                        F.col("node").alias("dst"), F.col("label")
+                    )
                 ),
                 "dst",
             )
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.count("*").alias("n"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                *[
+                    F.count(F.when(F.col("label") == lab, True)).alias(f"c{i}")
+                    for i, lab in enumerate(domain)
+                ]
+            )
         )
-        # top-2 votes per node in ONE aggregation: a node has at most one
-        # row per distinct label (3 here, label-cardinality-bounded at any
-        # graph scale), so sort_array(collect_list(struct(-n, label))) is a
-        # tiny per-node array and ascending (-n, label) IS the oracle's
-        # ORDER BY n DESC, label — replacing the row_number window + two
-        # rank-filter self-joins (one shuffle and two joins per round).
-        top = votes.groupBy("node").agg(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("n")).alias("nn"), "label"))
-            ).alias("vs")
-        ).select(
-            "node",
-            F.col("vs")[0]["label"].alias("l1"),
-            (-F.col("vs")[0]["nn"]).alias("n1"),
-            F.when(F.size("vs") > 1, -F.col("vs")[1]["nn"]).alias("n2"),
+        n1 = F.greatest(*cs)
+        n2 = sum(cs, F.lit(0)) - n1 - F.least(*cs)
+        l1 = (
+            F.when((cs[0] >= cs[1]) & (cs[0] >= cs[2]), domain[0])
+            .when(cs[1] >= cs[2], domain[1])
+            .otherwise(domain[2])
         )
         labels = (
-            labels.join(top, "node", "left")
+            labels.join(counts, "node", "left")
             .select(
                 "node",
                 F.when(F.col("is_seed"), F.col("label"))
-                .when(
-                    F.col("n1") - F.coalesce(F.col("n2"), F.lit(0)) >= margin,
-                    F.col("l1"),
-                )
+                .when((n1 >= 1) & (n1 - n2 >= margin), l1)
                 .otherwise("Unknown")
                 .alias("label"),
                 "is_seed",

@@ -291,9 +291,11 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
     # checkpoint once; ONE count job over the checkpointed narrow rows serves
     # both the Bloom-sidecar capacity planner (n_new per bucket) and the
-    # "selected" lineage metrics — the seen rows ARE the schedule slice
+    # "selected" lineage metrics — the seen rows ARE the schedule slice. That
+    # count runs on the OVERLAPPED thread below (its first consumer is the
+    # sidecar planner), keeping the main path's serial chain at
+    # checkpoint → fetch write → frontier write → frontier count → commit.
     selected = selected.localCheckpoint(eager=True)
-    sel_counts = _bucket_counts(selected)
     tm.lap("schedule")
 
     # The seen-table write and the Bloom-sidecar update depend ONLY on the
@@ -306,8 +308,9 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     sidecar_prev = wh.read_round(spark, "seen_bloom", rnd - 1)
     prev_meta = {int(k): tuple(v) for k, v in (prev_m.get("bloom_meta") or {}).items()}
 
-    def _seen_and_sidecar() -> dict[int, tuple[int, int]]:
+    def _seen_and_sidecar() -> tuple[dict[int, tuple[int, int]], dict[int, int]]:
         t0 = time.time()
+        sel_counts = _bucket_counts(selected)
         seen_out = selected.select("url", "url_hash", "host_bucket")
         wh.write("seen", seen_out, rnd)
         new_hashes = selected.select("host_bucket", "url_hash")
@@ -346,7 +349,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
                 f"table={table_meta}"
             )
         tm.note("seen+sidecar", time.time() - t0)
-        return table_meta
+        return table_meta, sel_counts
 
     from concurrent.futures import ThreadPoolExecutor, wait as _fut_wait
 
@@ -480,6 +483,11 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             fn_counts[int(r["host_bucket"])] = int(r["fn"])
             if int(r["nl"]) > 0:
                 nl_counts[int(r["host_bucket"])] = int(r["nl"])
+        # join the overlapped seen+sidecar thread (its failure fails the round
+        # BEFORE the commit); it carries the shared sel_counts job plus the
+        # bloom_meta counters that go into the manifest
+        bloom_meta, sel_counts = seen_fut.result()
+        tm.lap("join_seen_sidecar")
         collected = [
             {"host_bucket": b, "stage": stage, "n": n}
             for stage, counts in (
@@ -490,17 +498,12 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             )
             for b, n in sorted(counts.items())
         ]
-        tm.lap("metrics_collect")
         wh.write_rows("metrics", rnd, collected, _metrics_schema())
         totals = {s: 0 for s in ("candidates", "selected", "new_links", "frontier_next")}
         for r in collected:
             totals[r["stage"]] += r["n"]
         n_selected = totals["selected"]
-
-        # join the overlapped seen+sidecar thread (its failure fails the round
-        # BEFORE the commit); its bloom_meta counters go into the manifest
-        bloom_meta = seen_fut.result()
-        tm.lap("join_seen_sidecar")
+        tm.lap("metrics_collect")
     except BaseException as e:
         seen_fut.cancel()  # no-op once started; prevents a not-yet-started run
         # bounded join: a WEDGED sidecar write must not suppress the round's
