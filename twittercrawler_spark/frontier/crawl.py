@@ -426,7 +426,6 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # exact anti-join), not already pending. The sidecar is the committed
         # per-bucket Bloom TABLE maintained incrementally below — never built by
         # collecting hashes to the driver.
-        links = links.join(selected.select("url"), "url", "left_anti")
         # filter_unseen consumes its candidates TWICE (a pruned projection
         # through the Arrow probe, then the full rows in the semi-join back);
         # checkpoint the link-expansion pipeline so the explode + canonicalize
@@ -434,8 +433,15 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # unlike the wide fetched rows (see the fetch_log comment above).
         links = links.localCheckpoint(eager=False)
         links = filter_unseen(spark, links, seen_prior, sidecar_prev)
-        remaining = gated.join(selected.select("url"), "url", "left_anti")
-        links = links.join(remaining.select("url"), "url", "left_anti")
+        # remaining = gated minus selected, so selected ∪ remaining == gated
+        # EXACTLY: the "not fetched this round" and "not already pending"
+        # anti-joins fold into ONE anti-join against gated's urls. selected
+        # is quota-bounded (politeness) — broadcast it, like the fetch join's
+        # sel_keys, so the frontier-sized gated rows never shuffle on url for
+        # the remaining split (they still shuffle once into the merge's
+        # host_bucket clustering below).
+        remaining = gated.join(F.broadcast(selected.select("url")), "url", "left_anti")
+        links = links.join(gated.select("url"), "url", "left_anti")
         new_pending = links.withColumn("discovered_round", F.lit(rnd)).select(
             "url", "url_hash", "host", "host_bucket", "path", "priority", "discovered_round"
         )
