@@ -202,10 +202,17 @@ def min_label_rounds(comp: DataFrame, edges: DataFrame, rounds: int) -> DataFram
     """``rounds`` iterations of min-label propagation: each round every node
     adopts min(own comp, neighbours' comp). Per-round localCheckpoint keeps
     the state table node-sized with no lineage growth. THE single source of
-    the Spark-side rule (twin of :func:`min_label_rounds_sql`)."""
+    the Spark-side rule (twin of :func:`min_label_rounds_sql`).
+
+    The state table is node-sized (edge-count / avg-degree): broadcast it
+    into the edge join so the (cached, partitioned) edges never re-shuffle
+    per round; past broadcast scale (~10^8+ nodes) drop the hint for a
+    co-located shuffle join on the edges' dst partitioning — same agg shape."""
     for _ in range(rounds):
         neigh = (
-            edges.join(comp.select(F.col("node").alias("dst"), "comp"), "dst")
+            edges.join(
+                F.broadcast(comp.select(F.col("node").alias("dst"), "comp")), "dst"
+            )
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("comp").alias("nc"))
         )
