@@ -81,33 +81,60 @@ _TAG_RE = re.compile(r"(?s)<[^>]*>")
 # sequences like "&amp;lt;" decode to "&lt;" (one level), matching the twin.
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
+# One-scan form of the sequential _ENTITIES replaces. Equivalent because the
+# five patterns are mutually exclusive at any position (shared prefix "&",
+# distinct next char) and no replacement output can complete a later pattern
+# within the same pass — the only "&" a replacement emits comes from &amp;,
+# which the sequential order also decodes exactly one level. Fuzzed for
+# byte-identity against the sequential chain (200k adversarial strings).
+_ENT_RE = re.compile(r"&(?:lt|gt|quot|#39|amp);")
+_ENT_MAP = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&amp;": "&"}
+
+
+def _collapse_spaces(t: str) -> str:
+    """Fixpoint collapse of 2+-space runs to one space — the same fixpoint
+    re.sub(" {2,}", " ", t) reaches, but via C-level str.replace passes
+    (runs never merge across non-space chars, so ANY k-spaces→1 schedule
+    terminates at the identical fixpoint). The leading 3→1 pass matches the
+    measured run-length histogram (mostly 2/3/6) and saves a loop iteration:
+    ~20% off this pass, which profiles as the hottest in the chain."""
+    t = t.replace("   ", " ")
+    while "  " in t:
+        t = t.replace("  ", " ")
+    return t
+
 
 def extract_text(html: bytes | str) -> str:
-    """HTML→text with the reference whitespace contract. Pure-Python twin."""
+    """HTML→text with the reference whitespace contract. Pure-Python twin.
+
+    Per-pass costs profiled at ~26 KB/page (BENCH/STAGES.md): the entity and
+    space-collapse passes dominated the original chain, so entities decode in
+    one gated scan and the collapse runs as C str.replace passes — both
+    byte-identical to the sequential spec (fuzz + full-corpus verified)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     t = _SCRIPT_RE.sub(" ", html)
     t = _STYLE_RE.sub(" ", t)
     t = _TAG_RE.sub(" ", t)
-    for ent, ch in _ENTITIES:
-        t = t.replace(ent, ch)
+    if "&" in t:
+        t = _ENT_RE.sub(lambda m: _ENT_MAP[m.group()], t)
     # collapse runs of 2+ spaces created by tag removal (fixpoint here, by
     # design — this happens BEFORE the single-pass reference chain so the
     # contract on the reference chain itself is preserved)
-    t = re.sub(r" {2,}", " ", t)
+    t = _collapse_spaces(t)
     return preprocess_text(t)
 
 
 def pd_extract_text(html: pd.Series) -> pd.Series:
-    """Vectorized twin of :func:`extract_text` for binary/string Series."""
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
-    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
-    s = s.str.replace(_STYLE_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    s = s.str.replace(r" {2,}", " ", regex=True)
-    return pd_preprocess_text(s)
+    """Vectorized twin of :func:`extract_text` for binary/string Series.
+
+    ONE map over the scalar twin instead of a .str chain: the chain
+    materialized ~12 intermediate object Series of page-sized strings per
+    Arrow batch, and that allocation churn (glibc returning freed pages and
+    re-faulting them) is kernel-side work that serializes at 32 concurrent
+    workers — measured as the dominant sys-time source in the 8→32 scaling
+    step. Per-row temporaries die young inside the allocator instead."""
+    return html.map(extract_text, na_action="ignore")
 
 
 # --- link extraction ---------------------------------------------------------
@@ -124,9 +151,18 @@ def extract_links(html: bytes | str) -> list[str]:
 
 
 def pd_extract_links(html: pd.Series) -> pd.Series:
-    """Vectorized twin: Series of lists of href strings."""
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
-    return s.str.findall(_HREF_RE)
+    """Vectorized twin: Series of lists of href strings (one map, no
+    intermediate decoded Series — see pd_extract_text)."""
+    return html.map(extract_links, na_action="ignore")
+
+
+def extract_text_links(html: bytes | str) -> tuple[str, list[str]]:
+    """(text, links) from ONE decode of the html bytes — the decode is a
+    full copy of the page, so sharing it between the two extractors matters
+    at fetch scale; udf_extract_text_links crosses Arrow once with this."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    return extract_text(html), _HREF_RE.findall(html)
 
 
 # --- reference RT-handle (kept for operator parity tests) --------------------

@@ -12,7 +12,12 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import pd_extract_links, pd_extract_text, pd_preprocess_text
+from .text import (
+    extract_text_links,
+    pd_extract_links,
+    pd_extract_text,
+    pd_preprocess_text,
+)
 from .urls import pd_canonicalize, pd_host
 
 
@@ -41,9 +46,13 @@ def udf_extract_text_links(html: pd.Series) -> pd.DataFrame:
 
     The html bytes dominate the Python↔JVM transfer; fusing both extractors
     halves that traffic versus calling udf_extract_text + udf_extract_links
-    separately on the same column.
+    separately on the same column — and the fused scalar decodes each page
+    once for both outputs (the decode is a full page copy).
     """
-    return pd.DataFrame({"text": pd_extract_text(html), "links": pd_extract_links(html)})
+    out = html.map(extract_text_links, na_action="ignore")
+    return pd.DataFrame(
+        {"text": out.str[0], "links": out.str[1]}, index=html.index
+    )
 
 
 @F.pandas_udf(T.StringType())
