@@ -79,14 +79,23 @@ def _edges(spark: SparkSession, sf: str, part_key: str | None = None) -> DataFra
     exchange — hash-partitioning on one edge endpoint co-locates equal
     (src, dst) pairs, so Catalyst plans ONE shuffle for partition+dedupe
     instead of distinct's own (src, dst) shuffle plus a second repartition
-    (measured 3 → 2 exchanges and ~25% faster at sf0.1)."""
+    (measured 3 → 2 exchanges and ~25% faster at sf0.1).
+
+    Pair generation is collect_set-per-order + a double explode, not a
+    lineitem self-join: one scan and one (partially-aggregated) shuffle of
+    the two join columns instead of two scans and two shuffle sides, and the
+    s² pair blowup happens map-side AFTER the per-order dedup. Orders have
+    bounded supplier counts (TPC-H ~7 lines/order), so the per-group set is
+    O(1) — the groupBy cannot skew. Same distinct edge set as the oracle's
+    self-join by construction."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("_ss")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
+        per_order.select(F.explode("_ss").alias("src"), "_ss")
+        .select("src", F.explode("_ss").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
     )
     if part_key is not None:
         pairs = pairs.repartition(part_key)
