@@ -91,17 +91,18 @@ _ENT_RE = re.compile(r"&(?:lt|gt|quot|#39|amp);")
 _ENT_MAP = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&amp;": "&"}
 
 
+# Fixpoint collapse of 2+-space runs to one space. "  +" (NOT " {2,}"): the
+# two-literal-space prefix lets sre skip between candidates with a C-level
+# find, while " {2,}" stops to attempt a match at EVERY single space — i.e.
+# at every word boundary of the page. Measured on the bench corpus: 24 vs
+# 62 us/page, and one pass also beats the old multi-pass str.replace
+# schedule (each pass re-copied the whole page; ~63 us). Identical fixpoint
+# by construction — runs never merge across non-space chars.
+_SP_RUN_RE = re.compile("  +")
+
+
 def _collapse_spaces(t: str) -> str:
-    """Fixpoint collapse of 2+-space runs to one space — the same fixpoint
-    re.sub(" {2,}", " ", t) reaches, but via C-level str.replace passes
-    (runs never merge across non-space chars, so ANY k-spaces→1 schedule
-    terminates at the identical fixpoint). The leading 3→1 pass matches the
-    measured run-length histogram (mostly 2/3/6) and saves a loop iteration:
-    ~20% off this pass, which profiles as the hottest in the chain."""
-    t = t.replace("   ", " ")
-    while "  " in t:
-        t = t.replace("  ", " ")
-    return t
+    return _SP_RUN_RE.sub(" ", t)
 
 
 def extract_text(html: bytes | str) -> str:
