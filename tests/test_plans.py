@@ -338,3 +338,20 @@ def test_unigram_surprisal_integer_exact_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_label_propagation_edges_single_scan_no_self_join(spark):
+    """Edge generation is collect_set-per-order + double explode: ONE
+    lineitem scan feeding a partially-aggregated two-column shuffle, with
+    the pair blowup map-side after per-order dedup — never a lineitem
+    self-join (two scans + two full shuffle sides of the fact table)."""
+    from twittercrawler_spark.analytics.graph import _edges
+
+    df = _edges(spark, SF_DIR, part_key="dst")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate" in plan, plan  # the explode pair expansion
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan

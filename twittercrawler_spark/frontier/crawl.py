@@ -407,7 +407,15 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd, fetch_out.schema)
         tm.lap("fetch+extract+write")
 
-        # expand: out-links → canonicalize vs base → max child priority per url
+        # expand: out-links → canonicalize vs base → max child priority per url.
+        # coalesce(defaultParallelism) before the pandas UDF: the fetch_log
+        # scan splits at 16 MB row-group granularity (~200+ partitions on the
+        # scale corpus), and each pandas-UDF task pays a fixed Arrow/worker
+        # round-trip — 218 link-sized tasks measured 2.19 s vs 0.91 s at 32
+        # slots for the SAME rows. The exploded link rows are narrow (two
+        # short strings), so one task per slot holds links/cores rows only as
+        # streamed Arrow batches; the cheap scan+explode fusing into fewer
+        # tasks costs nothing (0.3 s isolated).
         links = (
             fetched_log.filter(F.col("status") == "ok")
             .select(
@@ -415,6 +423,7 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
                 F.col("url").alias("base_url"),
                 (F.col("priority") * cfg.priority_decay).alias("child_priority"),
             )
+            .coalesce(spark.sparkContext.defaultParallelism)
             .withColumn("url", udf_canonicalize_rel(F.col("href"), F.col("base_url")))
             .filter(F.col("url").isNotNull())
             .groupBy("url")
