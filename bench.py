@@ -66,9 +66,14 @@ CRAWL_LINKS = 4
 CRAWL_QUOTA = 200_000  # quota >= hot-host pending: full wave in one round
 BENCH_PAGES, BENCH_WORDS = 40_000, 1_000
 # scaling-evidence corpus: big enough that the fixed per-round floor
-# (~5 s of scheduler/metrics/commit jobs) is a measured-small fraction —
-# production rounds are 10^7-10^9 urls, so larger is the honest direction
-SCALE_PAGES, SCALE_WORDS = 300_000, 4_000
+# (scheduler windows + broadcast build + job launches, a few seconds) is a
+# measured-small fraction — production rounds are 10^7-10^9 urls, so larger
+# is the honest direction. 600k: round 4 cut per-URL compute ~30-40%
+# (extract collapse pass, canonicalize fast path, link-task coalescing),
+# which at the old 300k size shrank the parallel fraction enough to drag the
+# 2->8 full-round ratio below the floor's noise — the corpus grows WITH the
+# engine so the ratio keeps measuring scaling, not the fixed floor.
+SCALE_PAGES, SCALE_WORDS = 600_000, 4_000
 
 # bench sessions split parquet finer than the 128 MB default so scan + UDF
 # stages can use every core (corpus files are small relative to real CC data).
