@@ -462,7 +462,18 @@ Engineering that moved the full-round number (rounds 2–3):
    page rows not written by us (bootstrap's raw corpus read) — applied
    globally in round 3 they regressed every numeric/analytics scan
    (headline bench 26.5 s → 81.6 s; pricing_summary 11×), which round 4
-   reverted while keeping the crawl-path win.
+   reverted while keeping the crawl-path win;
+7. (round 4) the fixed per-round serial floor was cut ~17% (bench corpus
+   round 5.0 → 4.2 s at local[32]): the global-sequence offsets'
+   broadcast build derives its per-host count table from the gated
+   candidates (min(quota, count) — provably the selected count) instead
+   of re-executing both top-k window shuffles; every warehouse read
+   passes the schema pinned at write time (_schema.json sidecar) so the
+   driver never re-infers from footers on the round path; the Bloom-probe
+   cogroup is checkpointed before its definite/maybe split (one bitset
+   crossing per round, not two); and the fetch hit path coalesces to one
+   task per slot before the extract UDF (same treatment the link path
+   already had).
 
 Remaining gap to 1.0 is the fixed per-round floor (scheduler windows,
 broadcast build, ~7 job launches) plus the sandbox's single shared local

@@ -46,7 +46,7 @@ from ..functions.udfs import (
 from ..functions.urls import spark_host_bucket, spark_url_hash64
 from ..session import PAGE_ROW_GROUP_BYTES, page_row_scan
 from ..sources.tables import Warehouse
-from .scheduler import select_per_host_topk, with_global_sequence
+from .scheduler import select_per_host_topk, selected_counts, with_global_sequence
 from .seen import filter_unseen, plan_update, update_bloom_sidecar
 from .simulator import CrawlConfig
 
@@ -287,7 +287,14 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     selected = select_per_host_topk(
         gated, cfg.per_host_per_round, cfg.salt_sub_buckets, quotas
     )
-    selected = with_global_sequence(selected, seq_start)
+    # per-host selected counts = min(quota, gated count) — provably exact
+    # (scheduler.selected_counts), so the sequence offsets' broadcast build
+    # is ONE hash agg over the gated checkpoint instead of a second run of
+    # both top-k window shuffles (fetch-order parity pins the equivalence)
+    selected = with_global_sequence(
+        selected, seq_start,
+        counts=selected_counts(gated, cfg.per_host_per_round, quotas),
+    )
     # selected feeds 5 consumers (broadcast, miss, seen, metrics, remaining):
     # checkpoint once; ONE count job over the checkpointed narrow rows serves
     # both the Bloom-sidecar capacity planner (n_new per bucket) and the
@@ -374,9 +381,17 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # a bucket-co-located SMJ — same plan shape, still no html re-shuffle
         # with host_bucket-bucketed storage.)
         sel_keys = selected.select("url", "seq", "priority", "host", "host_bucket")
+        # coalesce to one task per slot before the extract UDF (same measured
+        # treatment as the link-expansion path): the corpus scan splits at
+        # file/row-group granularity into far more tasks than slots, and every
+        # pandas-UDF task pays a fixed Arrow/worker round-trip; the html rows
+        # stream through each fat task as bounded reader batches, so fewer
+        # tasks costs no memory. Also writes one fetch_log file per slot
+        # (row groups stay 16 MB, so later scans still split below files).
         hit = (
             pages.select("url", "html", "lang")
             .join(F.broadcast(sel_keys), "url")
+            .coalesce(spark.sparkContext.defaultParallelism)
             .withColumn("_ex", udf_extract_text_links(F.col("html")))
             .withColumn("text", F.col("_ex.text"))
             .withColumn("links", F.col("_ex.links"))

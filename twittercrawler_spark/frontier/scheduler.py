@@ -66,7 +66,41 @@ def select_per_host_topk(
     )
 
 
-def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
+def selected_counts(
+    gated: DataFrame, k: int, quotas: DataFrame | None = None
+) -> DataFrame:
+    """Per-host SELECTED row counts derived from the candidate set — one
+    hash aggregation, no window shuffles.
+
+    Exactness: :func:`select_per_host_topk` keeps ``host_rank <= quota``
+    rows per host, where host_rank runs over the phase-1 survivors. Per
+    host with n candidates and quota q (q <= k): if n < q every sub-bucket
+    holds < q <= k rows so phase 1 keeps all n; if n >= q the survivors
+    number >= min(k, n) >= q. Either way the kept count is exactly
+    ``min(q, n)`` — so the count table never needs the ranked rows. Used
+    by callers that pass it to :func:`with_global_sequence`, replacing the
+    offsets broadcast-build's re-run of BOTH top-k window shuffles with
+    one count over the (checkpointed) candidates (a parity test pins the
+    resulting fetch order against the sequential simulator).
+    """
+    counts = gated.groupBy("host").agg(F.count("*").alias("_cnt"))
+    if quotas is None:
+        return counts.withColumn("_cnt", F.least(F.col("_cnt"), F.lit(k).cast("long")))
+    return (
+        counts.join(F.broadcast(quotas), "host", "left")
+        .select(
+            "host",
+            F.least(
+                F.col("_cnt"),
+                F.coalesce(F.col("_quota"), F.lit(k)).cast("long"),
+            ).alias("_cnt"),
+        )
+    )
+
+
+def with_global_sequence(
+    selected: DataFrame, start_at: int, counts: DataFrame | None = None
+) -> DataFrame:
     """Add ``seq`` = start_at + rank in (host asc, host_rank asc) order.
 
     Fully JVM-side and shuffle-light: the global order decomposes into
@@ -79,8 +113,14 @@ def with_global_sequence(selected: DataFrame, start_at: int) -> DataFrame:
     neither the host-count table nor the prefix-group totals funnel
     through one task; the totals table is capped by the 2-char prefix
     alphabet.
+
+    ``counts`` (host, _cnt): optional precomputed per-host selected counts
+    (see :func:`selected_counts`). Without it the count table derives from
+    ``selected`` itself — correct everywhere, but as the offsets
+    broadcast-build subtree it re-executes the two top-k window shuffles.
     """
-    counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
+    if counts is None:
+        counts = selected.groupBy("host").agg(F.count("*").alias("_cnt"))
     # TWO-LEVEL running sum (the documented treatment, now implemented):
     # hosts group by their 2-char prefix — prefix groups are CONTIGUOUS in
     # host-asc order, so the global prefix-sum decomposes exactly into

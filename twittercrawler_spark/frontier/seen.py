@@ -272,6 +272,12 @@ def filter_unseen(
         .cogroup(side.groupby("host_bucket"))
         .applyInPandas(probe, out_schema)
     )
+    # two consumers below (definite/maybe branches of one union) — without a
+    # checkpoint the union re-executes the cogroup subtree, i.e. a second
+    # host_bucket shuffle + a second bitset Python crossing per round. The
+    # flagged rows are narrow (url + two ints + bool) and round-sized — the
+    # same holding rationale as the caller's link checkpoint.
+    flagged = flagged.localCheckpoint(eager=False)
     definite_new = flagged.filter(~F.col("_maybe_seen")).select("url")
     maybes = flagged.filter(F.col("_maybe_seen")).select("url")
     verified_new = maybes.join(seen.select("url"), "url", "left_anti")

@@ -92,7 +92,27 @@ class Warehouse:
         if row_group_bytes is not None:
             w = w.option("parquet.block.size", str(row_group_bytes))
         w.parquet(path)
+        # pin the schema beside the data (leading "_" keeps it out of Spark's
+        # file listing): every later read passes it to the reader and skips
+        # the driver-side footer-read inference — several such reads sit on
+        # the per-round serial floor (frontier, robots, pages, seen union).
+        # Warehouse table schemas are fixed per table; an evolved schema
+        # overwrites the pin on its round's write.
+        with open(os.path.join(path, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
         return path
+
+    def _pinned_schema(self, name: str, rnd: int):
+        """The schema pinned at write time, or None (pre-pin rounds,
+        pyarrow-written metadata tables)."""
+        from pyspark.sql.types import StructType
+
+        p = os.path.join(self._round_dir(name, rnd), "_schema.json")
+        try:
+            with open(p) as f:
+                return StructType.fromJson(json.load(f))
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
 
     def write_rows(self, name: str, rnd: int, rows: list[dict], schema) -> str:
         """Driver-side write of a METADATA-SCALE table (≤ thousands of rows,
@@ -144,12 +164,14 @@ class Warehouse:
         """Union of all committed rounds of an append-style table."""
         rounds = [r for r in self.committed_rounds() if upto is None or r <= upto]
         paths = [self._round_dir(name, r) for r in rounds]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
+        pairs = [(p, r) for p, r in zip(paths, rounds) if os.path.isdir(p)]
+        if not pairs:
             return None
-        return (
-            spark.read.option("basePath", os.path.join(self.root, name)).parquet(*paths)
-        )
+        reader = spark.read.option("basePath", os.path.join(self.root, name))
+        schema = self._pinned_schema(name, pairs[-1][1])
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[p for p, _ in pairs])
 
     def read_uncommitted(
         self, spark: SparkSession, name: str, rnd: int, schema=None
@@ -163,6 +185,8 @@ class Warehouse:
         footer-read schema inference on the shared disk (part of the fixed
         per-round floor the scaling evidence tracks)."""
         reader = spark.read.option("basePath", os.path.join(self.root, name))
+        if schema is None:
+            schema = self._pinned_schema(name, rnd)
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(self._round_dir(name, rnd))
@@ -174,6 +198,8 @@ class Warehouse:
         path = self._round_dir(name, rnd)
         if not os.path.isdir(path):
             return None
-        return spark.read.option(
-            "basePath", os.path.join(self.root, name)
-        ).parquet(path)
+        reader = spark.read.option("basePath", os.path.join(self.root, name))
+        schema = self._pinned_schema(name, rnd)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
