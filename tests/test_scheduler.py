@@ -3,7 +3,11 @@ global sequence, and salting correctness (SURVEY.md §5.5)."""
 
 from pyspark.sql import functions as F
 
-from twittercrawler_spark.frontier.scheduler import select_per_host_topk, with_global_sequence
+from twittercrawler_spark.frontier.scheduler import (
+    select_per_host_topk,
+    selected_counts,
+    with_global_sequence,
+)
 from twittercrawler_spark.functions.urls import url_hash64
 
 
@@ -61,6 +65,42 @@ def test_sequence_stable_across_parallelism(spark):
     sel = select_per_host_topk(cands, 3)
     a = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(2), 0).collect()}
     b = {r["url"]: r["seq"] for r in with_global_sequence(sel.repartition(16), 0).collect()}
+    assert a == b
+
+
+def test_selected_counts_equals_window_counts(spark):
+    """selected_counts(gated, k, quotas) — the cheap min(quota, count)
+    derivation the crawl round feeds to with_global_sequence — must equal
+    the per-host count of the actually-selected rows, under skew, variable
+    quotas (including 0 = starved host) and hosts absent from the quota
+    table. This pins the proof in its docstring with data."""
+    cands = _candidates(spark, n=900, n_hosts=7)
+    k = 5
+    quotas = spark.createDataFrame(
+        [("hot.com", 2), ("h1.com", 0), ("h2.com", 9999)], ["host", "_quota"]
+    )
+    for q in (None, quotas):
+        sel = select_per_host_topk(cands, k, salt_sub_buckets=8, quotas=q)
+        actual = {
+            r["host"]: r["n"]
+            for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        derived = {
+            r["host"]: r["_cnt"]
+            for r in selected_counts(cands, k, q).collect()
+            if r["_cnt"] > 0
+        }
+        assert derived == actual
+
+    # and the sequence built from the derived counts matches the default path
+    sel = select_per_host_topk(cands, k, salt_sub_buckets=8, quotas=quotas)
+    a = {
+        r["url"]: r["seq"]
+        for r in with_global_sequence(
+            sel, 0, counts=selected_counts(cands, k, quotas)
+        ).collect()
+    }
+    b = {r["url"]: r["seq"] for r in with_global_sequence(sel, 0).collect()}
     assert a == b
 
 

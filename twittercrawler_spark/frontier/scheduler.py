@@ -44,8 +44,10 @@ def select_per_host_topk(
     budget per host below ``k`` (robots crawl-delay: quota = floor(round
     seconds / delay)). Hosts absent from it keep ``k``; phase 1 prunes with
     ``k`` (the maximum any host may take), so the variable budget changes
-    WHICH ranks survive, never the two-phase shape. A 0 quota starves the
-    host for the round — its urls stay pending, exactly the reference's
+    WHICH ranks survive, never the two-phase shape. A quota above ``k`` is
+    clamped to ``k`` (quotas only ever TIGHTEN — enforced here so the
+    phase-1 prune stays valid for any input). A 0 quota starves the host
+    for the round — its urls stay pending, exactly the reference's
     sleep-to-budget semantics when the budget is smaller than one fetch.
     """
     sub = F.pmod(F.col("url_hash"), F.lit(salt_sub_buckets))
@@ -61,7 +63,10 @@ def select_per_host_topk(
         return ranked.filter(F.col("host_rank") <= k)
     return (
         ranked.join(F.broadcast(quotas), "host", "left")
-        .filter(F.col("host_rank") <= F.coalesce(F.col("_quota"), F.lit(k)))
+        .filter(
+            F.col("host_rank")
+            <= F.least(F.coalesce(F.col("_quota"), F.lit(k)), F.lit(k))
+        )
         .drop("_quota")
     )
 
@@ -72,12 +77,13 @@ def selected_counts(
     """Per-host SELECTED row counts derived from the candidate set — one
     hash aggregation, no window shuffles.
 
-    Exactness: :func:`select_per_host_topk` keeps ``host_rank <= quota``
-    rows per host, where host_rank runs over the phase-1 survivors. Per
-    host with n candidates and quota q (q <= k): if n < q every sub-bucket
-    holds < q <= k rows so phase 1 keeps all n; if n >= q the survivors
-    number >= min(k, n) >= q. Either way the kept count is exactly
-    ``min(q, n)`` — so the count table never needs the ranked rows. Used
+    Exactness: :func:`select_per_host_topk` keeps ``host_rank <= q`` rows
+    per host, where host_rank runs over the phase-1 survivors and
+    ``q = min(quota, k)`` (the scheduler clamps — quotas only tighten).
+    Per host with n candidates: if n < q every sub-bucket holds < q <= k
+    rows so phase 1 keeps all n; if n >= q the survivors number
+    >= min(k, n) >= q. Either way the kept count is exactly ``min(q, n)``
+    — so the count table never needs the ranked rows. Used
     by callers that pass it to :func:`with_global_sequence`, replacing the
     offsets broadcast-build's re-run of BOTH top-k window shuffles with
     one count over the (checkpointed) candidates (a parity test pins the
@@ -92,7 +98,9 @@ def selected_counts(
             "host",
             F.least(
                 F.col("_cnt"),
-                F.coalesce(F.col("_quota"), F.lit(k)).cast("long"),
+                F.least(F.coalesce(F.col("_quota"), F.lit(k)), F.lit(k)).cast(
+                    "long"
+                ),
             ).alias("_cnt"),
         )
     )
