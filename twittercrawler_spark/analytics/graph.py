@@ -87,8 +87,21 @@ def _edges(spark: SparkSession, sf: str, part_key: str | None = None) -> DataFra
     s² pair blowup happens map-side AFTER the per-order dedup. Orders have
     bounded supplier counts (TPC-H ~7 lines/order), so the per-group set is
     O(1) — the groupBy cannot skew. Same distinct edge set as the oracle's
-    self-join by construction."""
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    self-join by construction.
+
+    Parallelism guard: collect_set's heavy half is the PARTIAL aggregation,
+    which runs at scan parallelism — and a column-pruned scan of a small-SF
+    table splits into fewer file partitions than cores (3 tasks on 32 slots
+    measured 4.0 s vs 1.3 s end-to-end). When the scan is narrower than the
+    cluster, repartition on the grouping key first: the groupBy reuses that
+    exchange (still 2 exchanges total) and the set-building runs at full
+    width. At production scan widths (≥ slots) the branch is a no-op and
+    map-side partial aggregation keeps the shuffle at set-count rows."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    if li.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        li = li.repartition("l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("_ss")
     )
