@@ -124,3 +124,23 @@ def test_shingle_dedup_catches_short_documents(spark, tmp_path):
     assert got == want
     want_sim = {(r[0], r[1]) for r in con.execute(ALL_ORACLES["dedup_simhash"]).fetchall()}
     assert sim == want_sim
+
+
+def test_pack_token_shards_plan_has_no_unpartitioned_window(spark):
+    """No Window node in the packing plan may have an empty partition spec:
+    at 10^10 documents a single-partition window is the job tail. The
+    level-2 prefix sum is an intra super-group window + broadcast theta-join
+    over the super-group totals precisely so this stays true (a constant
+    partition key does NOT count — Catalyst folds it back to an empty spec
+    and Spark warns at runtime)."""
+    import re
+
+    df = ALL_QUERIES["pack_token_shards"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # non-vacuous: the intra windows must be there
+    for m in re.finditer(r"Window \[[^\]]*\](.*)", plan):
+        rest = m.group(1)
+        # physical Window prints: Window [exprs], [partitionSpec], [orderSpec]
+        assert re.search(r",\s*\[[^\]]+\]\s*,", rest), (
+            "unpartitioned Window in pack_token_shards plan:\n" + plan
+        )

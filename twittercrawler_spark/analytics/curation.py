@@ -380,11 +380,13 @@ def pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the running sum is TWO-LEVEL, the same decomposition the
     crawl scheduler uses for fetch-sequence offsets — an intra-group window
-    partitioned by contiguous doc_id ranges, plus a running sum over the
-    one-row-per-group totals table — so no row-scale data ever funnels
-    through a single-partition window even at 10^10 documents. The oracle
-    expresses the same number as one flat window, which is the semantic
-    definition; the two-level form is the distributed evaluation of it.
+    partitioned by contiguous doc_id ranges, plus group bases from the
+    one-row-per-group totals table (itself evaluated without any
+    unpartitioned window: a super-group intra window + broadcast theta-join
+    bases) — so no row-scale data ever funnels through a single-partition
+    window even at 10^10 documents. The oracle expresses the same number as
+    one flat window, which is the semantic definition; the two-level form
+    is the distributed evaluation of it.
     """
     group_span = 65536  # contiguous doc_id range per level-1 group
     tok = t_split(spark, sf, "documents").select(
@@ -403,18 +405,35 @@ def pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = tok.withColumn("_ibase", F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
-    # level-2 running sum over the one-row-per-group totals table. This
-    # window is deliberately UNPARTITIONED — and Spark's single-partition
-    # warning is deliberately left visible — because its input is metadata
-    # scale by construction: one row per `group_span` docs (10^10 docs →
-    # ~152k rows through one task, a few MB). Masking the warning with a
-    # constant partition key would hide the signal if that ever changes.
-    wg = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    # level-2 running sum over the one-row-per-group totals table — itself
+    # two-level (the crawl scheduler's fetch-sequence treatment): an intra
+    # window partitioned by contiguous super-groups of `group_span` groups,
+    # plus super-group bases via a broadcast theta-join (sum of strictly-
+    # smaller super-groups). No unpartitioned window anywhere: the old flat
+    # level-2 window pushed one row per `group_span` docs through a single
+    # task (10^10 docs → ~152k rows in one task, and a WindowExec warning
+    # per run); the theta-join side is hard-capped at docs/group_span² rows
+    # (10^12 docs → ~233), metadata scale by construction.
+    gtot = tok.groupBy("_g").agg(F.sum("n_tokens").alias("_gtot"))
+    gtot = gtot.withColumn("_gg", F.floor(F.col("_g") / group_span))
+    wgi = (
+        Window.partitionBy("_gg")
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gintra = gtot.withColumn(
+        "_gibase", F.coalesce(F.sum("_gtot").over(wgi), F.lit(0))
+    )
+    ggtot = gtot.groupBy("_gg").agg(F.sum("_gtot").alias("_ggtot"))
+    prior = ggtot.select(F.col("_gg").alias("_gg2"), F.col("_ggtot").alias("_ggtot2"))
+    ggbase = (
+        ggtot.join(F.broadcast(prior), F.col("_gg2") < F.col("_gg"), "left")
+        .groupBy("_gg")
+        .agg(F.coalesce(F.sum("_ggtot2"), F.lit(0)).alias("_ggbase"))
+    )
     gbase = (
-        tok.groupBy("_g")
-        .agg(F.sum("n_tokens").alias("_gtot"))
-        .withColumn("_gbase", F.coalesce(F.sum("_gtot").over(wg), F.lit(0)))
-        .select("_g", "_gbase")
+        gintra.join(F.broadcast(ggbase), "_gg")
+        .select("_g", (F.col("_ggbase") + F.col("_gibase")).alias("_gbase"))
     )
     return (
         intra.join(F.broadcast(gbase), "_g")
