@@ -82,18 +82,28 @@ def test_lsh_paths_avoid_cartesian(spark, name):
 def test_no_headline_query_plans_all_pairs(spark):
     """No headline bench query may materialize the n² pair space. The
     sanctioned nested-loops: knn_bruteforce, whose loop side is the bounded
-    broadcast query set (per-batch scoring pattern), and bm25_search /
+    broadcast query set (per-batch scoring pattern); bm25_search /
     unigram_surprisal, whose loop side is a 1-ROW broadcast corpus-stats
     aggregate (N, sum dl / total token count) — a scalar join,
-    constant-size at any corpus scale."""
+    constant-size at any corpus scale; and pack_token_shards, whose loop
+    side is the broadcast super-group totals table of the two-level prefix
+    sum — hard-capped at docs/group_span² rows (~233 at 10^12 docs), the
+    same metadata-scale theta-join the crawl scheduler's fetch-sequence
+    bases use (test_fetch_sequence_plan pins that twin)."""
     import bench
 
+    sanctioned = (
+        "knn_bruteforce",
+        "bm25_search",
+        "unigram_surprisal",
+        "pack_token_shards",
+    )
     for name in bench.HEADLINE:
         if name.startswith("crawl") or name == "multimodal_decode":
             continue
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
-        if name not in ("knn_bruteforce", "bm25_search", "unigram_surprisal"):
+        if name not in sanctioned:
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
