@@ -82,3 +82,32 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     for r in sim.fetch_log:
         sim_per_round[r["round"]] = sim_per_round.get(r["round"], 0) + 1
     assert {r["round"]: r["fetched"] for r in rounds} == sim_per_round
+
+
+def test_log_filter_denies_only_gc_accumulator_noise(tmp_path):
+    """The engine's log4j config must DENY exactly the benign GC'd-accumulator
+    DAGScheduler message ("(Unknown class)" = AccumulatorContext weak ref
+    cleared after its execution finished) while real accumulator failures —
+    which log the accumulator's class name — still reach stderr. The bench
+    tail is recorded by the driver, so this is the difference between a
+    clean tail and masking a real error."""
+    script = tmp_path / "logprobe.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from twittercrawler_spark.session import get_spark\n"
+        "spark = get_spark('logprobe', cores=2, shuffle_partitions=2)\n"
+        "lg = spark._jvm.org.apache.logging.log4j.LogManager.getLogger(\n"
+        "    'org.apache.spark.scheduler.DAGScheduler')\n"
+        "lg.error('Failed to update accumulator 9357 (Unknown class) for task 0')\n"
+        "lg.error('Failed to update accumulator 12 (PythonAccumulatorV2) for task 3')\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, str(script)], env=env,
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "Unknown class" not in proc.stderr
+    assert "PythonAccumulatorV2" in proc.stderr

@@ -30,6 +30,20 @@ from pyspark.sql import SparkSession
 # default for compression/scan locality at 100 TB.
 PAGE_ROW_GROUP_BYTES = 16 * 1024 * 1024
 
+# log4j2 config = Spark defaults + a DENY filter for exactly the benign
+# "Failed to update accumulator N (Unknown class) for task M" GC race (a
+# late 1-task completion event processed after its finished execution's
+# weakly-referenced SQL-metric accumulators were collected — internal to
+# Spark, result-neutral, not reachable from user code). Real accumulator
+# failures log the accumulator's class name and pass through. Applied via
+# driver extraJavaOptions so it lands at JVM launch; a getOrCreate that
+# joins an already-running JVM keeps that JVM's logging config.
+_LOG4J_CONF = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "resources",
+    "log4j2-engine.properties",
+)
+
 
 @contextlib.contextmanager
 def page_row_scan(spark: SparkSession, batch_rows: int = 512):
@@ -122,7 +136,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in (extra_conf or {}).items():
+    merged = dict(extra_conf or {})
+    merged["spark.driver.extraJavaOptions"] = (
+        f"-Dlog4j.configurationFile=file:{_LOG4J_CONF} "
+        + merged.get("spark.driver.extraJavaOptions", "")
+    ).strip()
+    for k, v in merged.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
