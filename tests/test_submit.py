@@ -101,6 +101,10 @@ def test_log_filter_denies_only_gc_accumulator_noise(tmp_path):
         "    'org.apache.spark.scheduler.DAGScheduler')\n"
         "lg.error('Failed to update accumulator 9357 (Unknown class) for task 0')\n"
         "lg.error('Failed to update accumulator 12 (PythonAccumulatorV2) for task 3')\n"
+        "bm = spark._jvm.org.apache.logging.log4j.LogManager.getLogger(\n"
+        "    'org.apache.spark.storage.BlockManager')\n"
+        "bm.warn('Block rdd_70_0 already exists on this machine; not re-adding it')\n"
+        "bm.warn('Failed to replicate block rdd_70_0 to any peer')\n"
         "spark.stop()\n"
     )
     env = dict(os.environ)
@@ -111,3 +115,7 @@ def test_log_filter_denies_only_gc_accumulator_noise(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "Unknown class" not in proc.stderr
     assert "PythonAccumulatorV2" in proc.stderr
+    # the sidecar/main cached-frame putBlock race WARN is denied...
+    assert "already exists on this machine" not in proc.stderr
+    # ...while other BlockManager trouble still reaches the recorded tail
+    assert "Failed to replicate block" in proc.stderr
