@@ -277,6 +277,26 @@ def test_chunk_documents_is_map_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_lang_id_is_map_only(spark):
+    """Language ID votes are |distinct tokens ∩ per-language stopword
+    list| computed per row (array_intersect against literal arrays), so
+    the whole argmax is one codegen'd projection: no token explode, no
+    distinct, no join, no window. At corpus scale the old shape pushed
+    every distinct (doc, token) pair through an exchange just to discard
+    all non-stopword tokens. Only t_split's round-robin re-split of the
+    one-row-group test file may appear (a no-op at production file
+    counts)."""
+    plan = plan_of(spark, "lang_id_heuristic")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan
+    assert "Generate" not in plan  # no explode
+    ReadSchema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in ReadSchema and "text" in ReadSchema
+
+
 def test_two_phase_count_distinct_no_expand(spark):
     """distinct_users_per_type is hand-written two-phase: pair-distinct
     then count. The plan must show the composite-key aggregation (two

@@ -73,20 +73,44 @@ _SW_ROWS = ", ".join(f"('{lang}', '{w}')" for lang, w in _STOPWORDS)
     """,
 )
 def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    # Map-only: the vote for language L is |distinct doc tokens ∩ L's
+    # stopword list| (array_intersect dedups both sides), so the whole
+    # argmax evaluates per row inside codegen — no token-stream explode, no
+    # shuffle at all. At corpus scale the alternative (explode + distinct +
+    # join) pushes every distinct (doc, token) pair through an exchange just
+    # to throw away all non-stopword tokens; this plan reads (doc_id, text)
+    # and writes one row per doc, full stop. Tie-break parity with the
+    # oracle's (n DESC, slang ASC): langs are sorted, so max over
+    # struct(n, -idx) picks the largest vote then the alphabetically
+    # smallest language; n = 0 for every language → 'und'.
     d = t_split(spark, sf, "documents")
-    sw = F.broadcast(spark.createDataFrame(_STOPWORDS, "slang string, w string"))
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tk"))
-        .filter(F.col("tk") != "")
-        .distinct()
+    langs = sorted({lang for lang, _ in _STOPWORDS})
+    toks = F.split(F.lower("text"), r"\s+")
+    cand = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks,
+                        F.array(
+                            *[F.lit(w) for lang, w in _STOPWORDS if lang == sl]
+                        ),
+                    )
+                ).alias("n"),
+                F.lit(-i).alias("negidx"),
+            )
+            for i, sl in enumerate(langs)
+        ]
     )
-    votes = tok.join(sw, tok.tk == sw.w).groupBy("doc_id", "slang").agg(
-        F.count("*").alias("n")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("slang"))
-    best = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    return d.join(best, "doc_id", "left").select(
-        "doc_id", F.coalesce("slang", F.lit("und")).alias("lang_pred")
+    best = F.array_max(cand)
+    lang_arr = F.array(*[F.lit(sl) for sl in langs])
+    return d.select(
+        "doc_id",
+        F.when(
+            best["n"] > 0, F.element_at(lang_arr, -best["negidx"] + F.lit(1))
+        )
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
     )
 
 
