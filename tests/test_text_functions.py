@@ -79,6 +79,41 @@ def test_extract_links_twins_agree():
     assert extract_links(HTML_CASES[4]) == ["/rel/path", "http://b.co:80/p?b=1&a=2#f"]
 
 
+def test_extract_text_canon_links_matches_simulator_loop():
+    """The fused fetch-stage UDF interior must equal the simulator's
+    extract_links → canonicalize_url(href, base=u) → per-page max-dedup
+    loop: same text bytes, same canonical link SET in first-seen order
+    (all links of a page share one child priority, so first-seen dedup
+    preserves the global per-url max)."""
+    import pandas as pd
+
+    from twittercrawler_spark.functions.udfs import (
+        udf_extract_text_canon_links,
+    )
+    from twittercrawler_spark.functions.urls import canonicalize_url
+
+    fused = udf_extract_text_canon_links.func
+    bases = [f"http://base{i}.example.com/dir/page" for i in range(len(HTML_CASES))]
+    out = fused(pd.Series(HTML_CASES), pd.Series(bases))
+    for raw, base, text, links in zip(HTML_CASES, bases, out["text"], out["links"]):
+        assert text == extract_text(
+            raw.decode("utf-8", "replace") if isinstance(raw, bytes) else raw
+        )
+        ref: list[str] = []
+        for href in extract_links(raw):
+            cu = canonicalize_url(href, base)
+            if cu is not None and cu not in ref:
+                ref.append(cu)
+        assert list(links) == ref
+    # None html (a miss row reaching the UDF) stays None, not a crash
+    out2 = fused(pd.Series([None, HTML_CASES[4]]), pd.Series([None, bases[4]]))
+    assert out2["text"][0] is None and out2["links"][0] is None
+    assert list(out2["links"][1]) == [
+        canonicalize_url("/rel/path", bases[4]),
+        canonicalize_url("http://b.co:80/p?b=1&a=2#f"),
+    ]
+
+
 def test_rt_handle_reference_semantics():
     assert rt_handle("RT @alice: hello") == "alice"
     assert rt_handle("no handle here") is None

@@ -40,8 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     udf_canonicalize,
-    udf_canonicalize_rel,
-    udf_extract_text_links,
+    udf_extract_text_canon_links,
 )
 from ..functions.urls import spark_host_bucket, spark_url_hash64
 from ..session import PAGE_ROW_GROUP_BYTES, page_row_scan
@@ -388,11 +387,19 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # stream through each fat task as bounded reader batches, so fewer
         # tasks costs no memory. Also writes one fetch_log file per slot
         # (row groups stay 16 MB, so later scans still split below files).
+        # extraction AND link canonicalization run fused in this one Arrow
+        # crossing (udf_extract_text_canon_links): the href strings never
+        # leave Python raw, the canonicalize work rides the parallel fetch
+        # stage instead of its own job on the serial round path, and the
+        # fetch_log's links column durably holds RESOLVED canonical urls
+        # (per-page first-seen dedup; malformed/non-http hrefs dropped).
         hit = (
             pages.select("url", "html", "lang")
             .join(F.broadcast(sel_keys), "url")
             .coalesce(spark.sparkContext.defaultParallelism)
-            .withColumn("_ex", udf_extract_text_links(F.col("html")))
+            .withColumn(
+                "_ex", udf_extract_text_canon_links(F.col("html"), F.col("url"))
+            )
             .withColumn("text", F.col("_ex.text"))
             .withColumn("links", F.col("_ex.links"))
             .withColumn("status", F.lit("ok"))
@@ -422,25 +429,20 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         fetched_log = wh.read_uncommitted(spark, "fetch_log", rnd, fetch_out.schema)
         tm.lap("fetch+extract+write")
 
-        # expand: out-links → canonicalize vs base → max child priority per url.
-        # coalesce(defaultParallelism) before the pandas UDF: the fetch_log
-        # scan splits at 16 MB row-group granularity (~200+ partitions on the
-        # scale corpus), and each pandas-UDF task pays a fixed Arrow/worker
-        # round-trip — 218 link-sized tasks measured 2.19 s vs 0.91 s at 32
-        # slots for the SAME rows. The exploded link rows are narrow (two
-        # short strings), so one task per slot holds links/cores rows only as
-        # streamed Arrow batches; the cheap scan+explode fusing into fewer
-        # tasks costs nothing (0.3 s isolated).
+        # expand: the links column already holds canonical urls (fused into
+        # the fetch stage's extract crossing above), so expansion is pure
+        # JVM: column-pruned scan (status, priority, links — the text bytes
+        # stay on disk) → explode → one hash-agg for max child priority per
+        # url. No pandas UDF, no Arrow round-trip, no coalesce — the whole
+        # subtree stays in whole-stage codegen at scan parallelism, and
+        # map-side partial aggregation collapses the per-page duplicates
+        # before the url shuffle.
         links = (
             fetched_log.filter(F.col("status") == "ok")
             .select(
-                F.explode("links").alias("href"),
-                F.col("url").alias("base_url"),
+                F.explode("links").alias("url"),
                 (F.col("priority") * cfg.priority_decay).alias("child_priority"),
             )
-            .coalesce(spark.sparkContext.defaultParallelism)
-            .withColumn("url", udf_canonicalize_rel(F.col("href"), F.col("base_url")))
-            .filter(F.col("url").isNotNull())
             .groupBy("url")
             .agg(F.max("child_priority").alias("priority"))
         )

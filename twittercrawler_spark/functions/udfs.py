@@ -18,7 +18,7 @@ from .text import (
     pd_extract_text,
     pd_preprocess_text,
 )
-from .urls import pd_canonicalize, pd_host
+from .urls import canonicalize_url, pd_canonicalize, pd_host
 
 
 @F.pandas_udf(T.StringType())
@@ -53,6 +53,53 @@ def udf_extract_text_links(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"text": out.str[0], "links": out.str[1]}, index=html.index
     )
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def udf_extract_text_canon_links(html: pd.Series, base: pd.Series) -> pd.DataFrame:
+    """HTML(binary) + base URL → (text, CANONICAL out-links) in ONE crossing.
+
+    The crawl round's fetch stage uses this instead of extract-then-
+    canonicalize-in-a-second-UDF: the href strings never recross the Arrow
+    boundary, link canonicalization runs inside the (parallel, overlapped)
+    fetch stage instead of as its own job on the round's serial path, and
+    the expand stage downstream becomes pure JVM (explode + hash-agg).
+    Per-page the canonical links are deduplicated first-seen (all links of
+    a page share one child priority, so the global per-url max over pages
+    is unchanged) and non-http(s)/malformed hrefs drop out as
+    ``canonicalize_url`` → None — byte-identical link semantics to the
+    simulator's extract_links → canonicalize_url(href, base=u) loop.
+    """
+    texts, links = [], []
+    for h, b in zip(html, base):
+        if h is None:
+            texts.append(None)
+            links.append(None)
+            continue
+        text, hrefs = extract_text_links(h)
+        out: list[str] = []
+        seen: set[str] = set()
+        for href in hrefs:
+            # absolute hrefs skip the urljoin resolve (semantics-preserving —
+            # same fast path as pd_canonicalize, asserted in tests/test_urls.py)
+            cu = (
+                canonicalize_url(href)
+                if href.startswith(("http://", "https://"))
+                else canonicalize_url(href, b)
+            )
+            if cu is not None and cu not in seen:
+                seen.add(cu)
+                out.append(cu)
+        texts.append(text)
+        links.append(out)
+    return pd.DataFrame({"text": texts, "links": links}, index=html.index)
 
 
 @F.pandas_udf(T.StringType())
