@@ -17,9 +17,12 @@ spec'd step and a `local[2]`→`local[8]` step, and reports the two honestly:
 Methodology: deterministic corpus (seed=42), frontier seeded with every URL
 so round 1 is a full fetch wave; warehouse bootstrapped once (unmetered) and
 copied per trial; Python workers warmed before metering; each Spark-touching
-step runs in its own subprocess (one SparkContext per OS process — the
-multi-context accumulator-channel flake is structurally excluded and a
-crashed trial can't poison the run); trials alternate across levels
+step runs in its own subprocess launched via real `spark-submit --py-files
+dist/twittercrawler_spark.zip --master local[<level>]` — the north rule's
+launch mechanism at the level's own cluster size (one SparkContext per OS
+process — the multi-context accumulator-channel flake is structurally
+excluded and a crashed trial can't poison the run; plain-python fallback
+via --no-submit); trials alternate across levels
 (noisy-neighbor drift hits all levels equally) and each level takes its
 minimum. An isolated scan→extract
 measurement separates the compute path from the fixed per-round floor.
@@ -221,11 +224,29 @@ def main() -> None:
         _STEPS[args["step"]](args)
         return
 
+    import shutil as _sh
     import subprocess
 
     import bench
 
     corpus = bench.ensure_bench_corpus(bench.SCALE_PAGES, bench.SCALE_WORDS)
+
+    # Launch every Spark-touching child through REAL `spark-submit
+    # --py-files dist/twittercrawler_spark.zip --master local[<level>]` —
+    # the north rule's launch mechanism, at the level's own "cluster size"
+    # — unless spark-submit is missing or --no-submit is given (plain
+    # python fallback, same session confs). JVM-launch-time settings
+    # (driver memory, -Xms pre-touch, the engine log4j config) must ride
+    # the submit command line: under spark-submit the driver JVM exists
+    # before the builder runs, so builder-time copies of them are inert.
+    # (Import isolation from the zip alone is pinned by tests/test_submit.py;
+    # here the repo stays importable for the bench harness itself.)
+    spark_submit = None if "--no-submit" in argv else _sh.which("spark-submit")
+    pyfiles_zip = None
+    if spark_submit:
+        from make_pyfiles import build as _build_zip
+
+        pyfiles_zip = _build_zip()
     # deterministic scratch: a crashed/killed run resumes from its completed
     # steps instead of re-paying bootstrap + every earlier metered trial
     # (delete the dir for a fully fresh measurement)
@@ -242,12 +263,28 @@ def main() -> None:
     def run_step(step: str, key: str, **kw) -> dict:
         out = os.path.join(scratch, f"{key}.json")
         if not os.path.exists(out):
-            cmd = [
-                sys.executable, os.path.abspath(__file__), "--step", step,
-                "--out", out + ".tmp",
-            ]
+            step_args = ["--step", step, "--out", out + ".tmp"]
             for k, v in kw.items():
-                cmd += [f"--{k}", str(v)]
+                step_args += [f"--{k}", str(v)]
+            if spark_submit:
+                cores = int(kw.get("cores", 8))  # bootstrap pins local[8]
+                mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
+                from twittercrawler_spark.session import _LOG4J_CONF
+
+                java_opts = (
+                    f"-Dlog4j.configurationFile=file:{_LOG4J_CONF} "
+                    f"-Xms{mem} -XX:+AlwaysPreTouch"
+                )
+                cmd = [
+                    spark_submit,
+                    "--master", f"local[{cores}]",
+                    "--py-files", pyfiles_zip,
+                    "--conf", f"spark.driver.memory={mem}",
+                    "--conf", f"spark.driver.extraJavaOptions={java_opts}",
+                    os.path.abspath(__file__), *step_args,
+                ]
+            else:
+                cmd = [sys.executable, os.path.abspath(__file__), *step_args]
             subprocess.run(cmd, check=True)
             os.replace(out + ".tmp", out)
         with open(out) as f:
@@ -380,15 +417,20 @@ real cluster.
             f"""# BENCH/BASELINE — crawl throughput scaling evidence
 
 Job: one politeness-budgeted frontier round (schedule → broadcast
-fetch-join → extract(text+links, one fused Arrow pandas UDF) → seen-set +
-Bloom-sidecar commit (overlapped thread) → link expansion → frontier merge
-→ lineage metrics) over a deterministic synthetic corpus
+fetch-join → extract(text + CANONICAL links, one fused Arrow pandas UDF —
+link canonicalization rides the fetch stage, so expansion downstream is
+pure JVM) → seen-set + Bloom-sidecar commit (overlapped thread) → link
+expansion → frontier merge → lineage metrics) over a deterministic
+synthetic corpus
 ({b.SCALE_PAGES:,} pages, {b.CRAWL_HOSTS:,} hosts with a 50%-hot-host skew,
 ~{b.SCALE_WORDS} words/page, {b.CRAWL_LINKS} links/page), frontier seeded with
 EVERY url so round 1 is a full fetch wave. Same input, same seed, each
-metered trial in a FRESH OS process (one SparkContext per process — fully
-warmed before metering), alternating across levels so noisy-neighbor drift
-hits all levels equally; best of {CYCLES} per level.
+metered trial in a FRESH OS process launched via real `spark-submit
+--py-files dist/twittercrawler_spark.zip --master local[<level>]` — the
+north rule's launch mechanism at the level's own cluster size (one
+SparkContext per process, fully warmed before metering) — alternating
+across levels so noisy-neighbor drift hits all levels equally; best of
+{CYCLES} per level.
 
 | parallelism | urls fetched | round secs (trials) | best | throughput (urls/s) | host steal+sys % (trials) |
 |---|---|---|---|---|---|
