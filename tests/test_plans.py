@@ -385,3 +385,68 @@ def test_label_propagation_edges_single_scan_no_self_join(spark):
     assert "Generate" in plan, plan  # the explode pair expansion
     for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join not in plan, plan
+
+
+def test_link_expansion_single_clustering_shuffle(spark):
+    """The crawl round's link-expansion subtree rides ONE host_bucket
+    clustering exchange: the per-url dedup agg groups on a superset of the
+    partition key (no second exchange), and the Bloom-probe cogroup in
+    filter_unseen groups on host_bucket itself — so explode → url cols →
+    repartition → agg → probe is a single shuffle of the exploded links,
+    with no url-keyed exchange and no semi-join back (frontier/crawl.py
+    expand stage; frontier/seen.py filter_unseen)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from twittercrawler_spark.frontier.crawl import _with_url_cols
+    from twittercrawler_spark.frontier.seen import update_bloom_sidecar
+
+    pages = spark.createDataFrame(
+        [("http://a.com/x", 1.0, ["http://a.com/y", "http://b.com/z"])],
+        "url string, priority double, links array<string>",
+    )
+    links = pages.select(
+        F.explode("links").alias("url"),
+        (F.col("priority") * 0.5).alias("child_priority"),
+    )
+    links = _with_url_cols(links, 64, 8)
+    links = (
+        links.repartition(64, "host_bucket")
+        .groupBy("url", "url_hash", "host", "host_bucket", "path")
+        .agg(F.max("child_priority").alias("priority"))
+    )
+    seen = _with_url_cols(
+        spark.createDataFrame([("http://a.com/y",)], "url string"), 64, 8
+    )
+    sidecar = update_bloom_sidecar(seen.select("host_bucket", "url_hash"), None)
+
+    out_schema = T.StructType(
+        list(links.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.copy()
+        left["_maybe_seen"] = False
+        return left
+
+    flagged = (
+        links.groupby("host_bucket")
+        .cogroup(sidecar.groupby("host_bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+    plan = flagged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # exactly one REPARTITION_BY_NUM (the host_bucket clustering) and no
+    # url-keyed exchange anywhere in the plan
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    assert "hashpartitioning(url" not in plan, plan
+    # links side of the probe cogroup = first FlatMapCoGroupsInPandas down
+    # to the clustering exchange: both agg halves (partial+final) and no
+    # exchange other than the clustering one itself
+    links_side = plan.split("FlatMapCoGroupsInPandas")[1].split(
+        "REPARTITION_BY_NUM"
+    )[0]
+    assert links_side.count("Exchange") == 1, plan
+    assert links_side.count("HashAggregate") == 2, plan

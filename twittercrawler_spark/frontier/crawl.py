@@ -432,32 +432,35 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # expand: the links column already holds canonical urls (fused into
         # the fetch stage's extract crossing above), so expansion is pure
         # JVM: column-pruned scan (status, priority, links — the text bytes
-        # stay on disk) → explode → one hash-agg for max child priority per
-        # url. No pandas UDF, no Arrow round-trip, no coalesce — the whole
-        # subtree stays in whole-stage codegen at scan parallelism, and
-        # map-side partial aggregation collapses the per-page duplicates
-        # before the url shuffle.
+        # stay on disk) → explode → url cols (map-side codegen) → ONE
+        # host_bucket-clustering shuffle that the whole rest of the subtree
+        # rides: the per-url dedup agg groups on (host_bucket, url, …) so
+        # HashPartitioning(host_bucket) already satisfies it (map-side
+        # partial agg still collapses the per-page duplicates before the
+        # shuffle), and the Bloom-probe cogroup in filter_unseen groups on
+        # host_bucket too — neither inserts an exchange of its own.
         links = (
             fetched_log.filter(F.col("status") == "ok")
             .select(
                 F.explode("links").alias("url"),
                 (F.col("priority") * cfg.priority_decay).alias("child_priority"),
             )
-            .groupBy("url")
-            .agg(F.max("child_priority").alias("priority"))
         )
         links = _with_url_cols(links, cfg.num_buckets, cfg.salt_sub_buckets)
+        links = (
+            links.repartition(cfg.num_buckets, "host_bucket")
+            .groupBy("url", "url_hash", "host", "host_bucket", "path")
+            .agg(F.max("child_priority").alias("priority"))
+        )
 
         # dedup: not fetched this round, not in prior seen (Bloom prefilter +
         # exact anti-join), not already pending. The sidecar is the committed
-        # per-bucket Bloom TABLE maintained incrementally below — never built by
-        # collecting hashes to the driver.
-        # filter_unseen consumes its candidates TWICE (a pruned projection
-        # through the Arrow probe, then the full rows in the semi-join back);
-        # checkpoint the link-expansion pipeline so the explode + canonicalize
-        # UDF + groupBy run once, not per consumer. Narrow rows — safe to hold,
-        # unlike the wide fetched rows (see the fetch_log comment above).
-        links = links.localCheckpoint(eager=False)
+        # per-bucket Bloom TABLE maintained incrementally below — never built
+        # by collecting hashes to the driver. filter_unseen flags the full
+        # link rows in the probe crossing itself (definite misses flow
+        # through a filter; only the Bloom-fpp "maybe" sliver shuffles into
+        # the exact anti-join), so the link pipeline is consumed exactly
+        # once — no checkpoint, no semi-join back.
         links = filter_unseen(spark, links, seen_prior, sidecar_prev)
         # remaining = gated minus selected, so selected ∪ remaining == gated
         # EXACTLY: the "not fetched this round" and "not already pending"

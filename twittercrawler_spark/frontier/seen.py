@@ -231,25 +231,25 @@ def filter_unseen(
 
     candidates must carry (url, url_hash, host_bucket). With a Bloom sidecar,
     definite misses bypass the anti-join shuffle; "maybe" rows go through the
-    exact ``left_anti`` join. The probe cogroups a PRUNED
-    (host_bucket, url_hash, url) projection with the sidecar on host_bucket
-    — one bitset per bucket-partition crosses to Python and only three
-    narrow columns ride the Arrow round-trip, never the candidates' full row
-    set. The surviving url keys then semi-join back onto the full rows
-    (round-sized, and at real scale that shuffle key feeds straight into the
-    frontier merge's host_bucket clustering anyway). Probe parallelism is
-    one task per host_bucket — the bucket count is the deployment's
-    partitioning knob and scales with the cluster, so a hot bucket means the
-    bucketing constant is wrong, not this operator.
+    exact ``left_anti`` join. The probe cogroups the candidate rows with the
+    sidecar on host_bucket — one bitset per bucket-partition crosses to
+    Python and flags every row in place, so definite misses flow STRAIGHT
+    through a filter (no join back at all) and only the "maybe" rows — a
+    Bloom-fpp-sized sliver of the round — ever shuffle into the exact
+    anti-join against the seen table. The candidates are consumed exactly
+    once, and when the caller has already clustered them on host_bucket the
+    cogroup inserts no exchange of its own. Probe parallelism is one task
+    per host_bucket — the bucket count is the deployment's partitioning
+    knob and scales with the cluster, so a hot bucket means the bucketing
+    constant is wrong, not this operator.
     """
     if seen is None:
         return candidates
     if sidecar is None:
         return candidates.join(seen.select("url"), "url", "left_anti")
 
-    probe_in = candidates.select("host_bucket", "url_hash", "url")
     out_schema = T.StructType(
-        list(probe_in.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
     )
 
     def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -265,21 +265,21 @@ def filter_unseen(
 
     side = sidecar.withColumn(
         "host_bucket",
-        F.col("host_bucket").cast(probe_in.schema["host_bucket"].dataType),
+        F.col("host_bucket").cast(candidates.schema["host_bucket"].dataType),
     )
     flagged = (
-        probe_in.groupby("host_bucket")
+        candidates.groupby("host_bucket")
         .cogroup(side.groupby("host_bucket"))
         .applyInPandas(probe, out_schema)
     )
     # two consumers below (definite/maybe branches of one union) — without a
     # checkpoint the union re-executes the cogroup subtree, i.e. a second
     # host_bucket shuffle + a second bitset Python crossing per round. The
-    # flagged rows are narrow (url + two ints + bool) and round-sized — the
-    # same holding rationale as the caller's link checkpoint.
+    # flagged rows are narrow (url columns + bool) and round-sized — the
+    # same holding rationale the caller used to need for its link frame.
     flagged = flagged.localCheckpoint(eager=False)
-    definite_new = flagged.filter(~F.col("_maybe_seen")).select("url")
-    maybes = flagged.filter(F.col("_maybe_seen")).select("url")
+    cols = [f.name for f in candidates.schema.fields]
+    definite_new = flagged.filter(~F.col("_maybe_seen")).select(*cols)
+    maybes = flagged.filter(F.col("_maybe_seen")).select(*cols)
     verified_new = maybes.join(seen.select("url"), "url", "left_anti")
-    unseen_urls = definite_new.unionByName(verified_new)
-    return candidates.join(unseen_urls, "url", "left_semi")
+    return definite_new.unionByName(verified_new)
