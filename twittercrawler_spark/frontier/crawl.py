@@ -435,10 +435,20 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # stay on disk) → explode → url cols (map-side codegen) → ONE
         # host_bucket-clustering shuffle that the whole rest of the subtree
         # rides: the per-url dedup agg groups on (host_bucket, url, …) so
-        # HashPartitioning(host_bucket) already satisfies it (map-side
-        # partial agg still collapses the per-page duplicates before the
-        # shuffle), and the Bloom-probe cogroup in filter_unseen groups on
-        # host_bucket too — neither inserts an exchange of its own.
+        # HashPartitioning(host_bucket) already satisfies it, and the
+        # Bloom-probe cogroup in filter_unseen groups on host_bucket too —
+        # neither inserts an exchange of its own. Trade-off (deliberate,
+        # plan-pinned in tests/test_plans.py): with the repartition BELOW the
+        # groupBy, BOTH HashAggregates plan above the exchange, so exploded
+        # per-page duplicate links ride the one shuffle UNCOLLAPSED and are
+        # deduplicated post-shuffle — 1 shuffle of raw exploded links versus
+        # the old url-keyed agg's 4 shuffles of deduped links. On
+        # duplicate-heavy production rounds a hot url's copies all land in
+        # one bucket partition; if that skew ever binds, a map-side
+        # pre-collapse (partial distinct on the grouping keys before the
+        # repartition) is the candidate fix — benchmark before adopting, the
+        # bench corpora (≤4 links/page, few dups) measured the single-shuffle
+        # form faster.
         links = (
             fetched_log.filter(F.col("status") == "ok")
             .select(
