@@ -143,6 +143,7 @@ def bootstrap(
     cfg: CrawlConfig,
 ) -> None:
     """Round 0: canonicalized page corpus + seeded frontier + robots dim."""
+    tm = _StageTimer("bootstrap")
     raw = spark.read.parquet(pages_path)
     # Canonicalize join keys only; html stays opaque — extraction runs in the
     # per-round fetch path for SELECTED urls only (at 10^10-page scale you
@@ -152,36 +153,57 @@ def bootstrap(
         .withColumn("url", udf_canonicalize(F.col("url")))
         .filter(F.col("url").isNotNull())
     )
-    # Defensive dedup if two raw spellings canonicalize identically: keep the
-    # earliest (warc_ts, url_raw) — a computed rule, not task order. A window
-    # over url would shuffle the FULL corpus (html bytes) a second time on top
-    # of the host_bucket clustering below, so probe for duplicates first on a
-    # column-pruned url-only scan (~0.3% of corpus bytes at ~28 KB/page):
-    # clean corpora (the common case — WARC inputs are url-unique) skip the
-    # dedup shuffle entirely, and when collisions exist only the colliding
-    # slice — routed out by a broadcast join — pays the window.
+    def _clustered(df: DataFrame) -> DataFrame:
+        # cluster the corpus by host_bucket so per-round fetch joins and seen
+        # probes co-locate (the Iceberg partition-spec analog)
+        out = _with_url_cols(df, cfg.num_buckets, cfg.salt_sub_buckets)
+        return out.repartition(cfg.num_buckets, "host_bucket")
+
+    # Write first, probe after: the corpus is assumed url-unique under
+    # canonicalization (the common case — WARC inputs are url-unique), so the
+    # optimistic path pays exactly ONE canonicalize-UDF pass over the corpus.
+    # The duplicate probe then runs on the WRITTEN table, where canonical
+    # urls are a plain column — a JVM-only column-pruned scan, no second UDF
+    # pass (probing raw first cost a full extra pandas-UDF pass over every
+    # url, measured ~40% of bootstrap on the 250k bench corpus).
+    # page_row_scan: this is the one scan of ~28 KB html rows from parquet we
+    # did not write (the raw corpus), so the reader batch can't lean on a
+    # row-group bound; PAGE_ROW_GROUP_BYTES bounds the written table so every
+    # LATER pages_canon scan self-bounds at the default 4096-row batch.
+    with page_row_scan(spark):
+        wh.write("pages_canon", _clustered(canon), 0,
+                 row_group_bytes=PAGE_ROW_GROUP_BYTES)
+    tm.lap("canonicalize+cluster+write")
     dup_urls = (
-        raw.select(udf_canonicalize(F.col("url")).alias("url"))
-        .filter(F.col("url").isNotNull())
+        wh.read_uncommitted(spark, "pages_canon", 0)
         .groupBy("url")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
         .select("url")
     )
     n_dup = dup_urls.limit(_DUP_BROADCAST_LIMIT + 1).count()
+    tm.lap("dup_probe")
     if n_dup > 0:
+        # Collisions exist (adversarial/messy corpus): dedup — keep the
+        # earliest (warc_ts, url_raw), a computed rule, not task order — by
+        # recomputing from raw and OVERWRITING the uncommitted table. This
+        # path re-pays the canonicalize pass + write; it is the rare branch
+        # by design, and a window over url on the common path would shuffle
+        # the FULL corpus (html bytes) a second time on top of the
+        # host_bucket clustering.
+        dup_urls = dup_urls.localCheckpoint(eager=True)  # survives overwrite
         w = Window.partitionBy("url").orderBy("warc_ts", "url_raw")
         if n_dup <= _DUP_BROADCAST_LIMIT:
             # metadata-scale collision set: split the corpus around it so the
             # row_number shuffle moves only colliding rows
-            dup_urls = F.broadcast(dup_urls.localCheckpoint(eager=True))
+            dup_b = F.broadcast(dup_urls)
             winners = (
-                canon.join(dup_urls, "url", "left_semi")
+                canon.join(dup_b, "url", "left_semi")
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            canon = canon.join(dup_urls, "url", "left_anti").unionByName(winners)
+            canon = canon.join(dup_b, "url", "left_anti").unionByName(winners)
         else:
             # adversarial corpus (collisions beyond broadcast scale): fall
             # back to the full-corpus window
@@ -190,16 +212,10 @@ def bootstrap(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-    canon = _with_url_cols(canon, cfg.num_buckets, cfg.salt_sub_buckets)
-    # cluster the corpus by host_bucket so per-round fetch joins and seen
-    # probes co-locate (the Iceberg partition-spec analog)
-    canon = canon.repartition(cfg.num_buckets, "host_bucket")
-    # page_row_scan: this is the one scan of ~28 KB html rows from parquet we
-    # did not write (the raw corpus), so the reader batch can't lean on a
-    # row-group bound; PAGE_ROW_GROUP_BYTES bounds the written table so every
-    # LATER pages_canon scan self-bounds at the default 4096-row batch.
-    with page_row_scan(spark):
-        wh.write("pages_canon", canon, 0, row_group_bytes=PAGE_ROW_GROUP_BYTES)
+        with page_row_scan(spark):
+            wh.write("pages_canon", _clustered(canon), 0,
+                     row_group_bytes=PAGE_ROW_GROUP_BYTES)
+        tm.lap("dedup_rewrite")
 
     seeds = (
         spark.read.parquet(seeds_path)
@@ -218,10 +234,12 @@ def bootstrap(
     # job rescans only the two integer columns of the table just written;
     # the metadata-scale metrics table is written driver-side (no job).
     wh.write("frontier", seeds_out, 0)
+    tm.lap("seed_frontier_write")
 
     robots = spark.read.parquet(robots_path)
     wh.write("robots", robots, 0)
     counts0 = _bucket_counts(wh.read_uncommitted(spark, "frontier", 0))
+    tm.lap("robots+frontier_count")
     wh.write_rows(
         "metrics",
         0,
@@ -405,8 +423,20 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
             .withColumn("status", F.lit("ok"))
             .drop("html", "_ex")
         )
+        # miss = scheduled urls absent from the corpus. A direct
+        # left_anti(sel_keys, pages.url) plans as a sort-merge join that
+        # shuffles EVERY page url (the corpus side) — at 10^10 pages that is
+        # the biggest shuffle in the round, moved for a result bounded by the
+        # quota. Route it through the schedule instead: hit_urls = corpus
+        # urls ∩ schedule (broadcast semi-join on the column-pruned url scan,
+        # map-only, reuses the sel_keys broadcast), then anti-join against
+        # THAT — both sides schedule-bounded, so the anti-join broadcasts at
+        # any corpus size and the pages scan never shuffles.
+        hit_urls = pages.select("url").join(
+            F.broadcast(sel_keys.select("url")), "url", "left_semi"
+        )
         miss = (
-            sel_keys.join(pages.select("url"), "url", "left_anti")
+            sel_keys.join(F.broadcast(hit_urls), "url", "left_anti")
             .withColumn("lang", F.lit(None).cast("string"))
             .withColumn("text", F.lit(None).cast("string"))
             .withColumn("links", F.lit(None).cast("array<string>"))
