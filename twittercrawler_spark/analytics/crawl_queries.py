@@ -90,10 +90,45 @@ def crawl_extracted_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC segment ingestion (S3/S4 over archive records): deterministic
+    synthetic segments (one plain, one gzipped, one with a truncated tail)
+    → Arrow-batched record splitter → per-record rows + malformed flags.
+    Rows-only by design: the gate is the byte-level round-trip + crawl-e2e
+    suite in tests/test_warc.py; no SQL engine reads WARC."""
+    from ..sources.warc import read_warc, synthesize_warc
+
+    root = os.path.join(tempfile.gettempdir(), "tcspark_warc_v1")
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        synthesize_warc(os.path.join(root, "seg-00000.warc"), n_records=25, seed=42)
+        synthesize_warc(
+            os.path.join(root, "seg-00001.warc.gz"), n_records=25, seed=43
+        )
+        synthesize_warc(
+            os.path.join(root, "seg-00002.warc"),
+            n_records=10,
+            seed=44,
+            truncated_tail=True,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    rec = read_warc(spark, os.path.join(root, "seg-*"))
+    return rec.select(
+        "file",
+        "rec_type",
+        "url",
+        "malformed",
+        F.length("html").alias("n_html_bytes"),
+        "error",
+    ).orderBy("file", F.col("url").asc_nulls_last(), "error")
+
+
 QUERIES = {
     "crawl_fetch_order": crawl_fetch_order,
     "crawl_seen_set": crawl_seen_set,
     "crawl_metrics": crawl_metrics,
     "crawl_extracted_text": crawl_extracted_text,
+    "warc_ingest": warc_ingest,
 }
 ORACLES: dict = {}
