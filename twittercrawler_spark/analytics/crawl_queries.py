@@ -124,11 +124,39 @@ def warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("file", F.col("url").asc_nulls_last(), "error")
 
 
+def robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt derivation (P6 from raw bodies): fixed deterministic
+    bodies → user-agent section selection + allow/disallow + crawl-delay
+    rules. Rows-only: the correctness gate is tests/test_robots.py (parser
+    semantics + precedence-gate parity with the pure-Python twin + crawl
+    parity vs the simulator)."""
+    from ..frontier.robots import parse_robots
+
+    bodies = spark.createDataFrame(
+        [
+            (
+                "a.example.org",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n"
+                "Crawl-delay: 2\nDisallow: /tmp/*.html\n",
+            ),
+            (
+                "b.example.org",
+                "User-agent: otherbot\nDisallow: /\n\n"
+                "User-agent: twittercrawler\nDisallow: /secret/\nCrawl-delay: 5\n",
+            ),
+            ("c.example.org", "User-agent: *\nCrawl-delay: 7\n"),
+        ],
+        "host string, body string",
+    )
+    return parse_robots(bodies).orderBy("host", "prefix", "allow")
+
+
 QUERIES = {
     "crawl_fetch_order": crawl_fetch_order,
     "crawl_seen_set": crawl_seen_set,
     "crawl_metrics": crawl_metrics,
     "crawl_extracted_text": crawl_extracted_text,
     "warc_ingest": warc_ingest,
+    "robots_rules": robots_rules,
 }
 ORACLES: dict = {}

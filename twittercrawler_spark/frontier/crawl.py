@@ -273,15 +273,26 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
     robots = wh.read_round(spark, "robots", 0).drop("round")
     pages = wh.read_round(spark, "pages_canon", 0).drop("round")
 
-    # robots gate: drop candidates whose path starts with any disallowed
-    # prefix for the host (broadcast anti-join; P6/master-pinning analog)
-    c, rb = pending.alias("c"), F.broadcast(robots).alias("rb")
-    gated = c.join(
-        rb,
-        (F.col("c.host") == F.col("rb.host"))
-        & F.col("c.path").startswith(F.col("rb.disallow_prefix")),
-        "left_anti",
-    )
+    # robots gate (P6/master-pinning analog). Two table shapes:
+    # * rules table (has an ``allow`` column — produced by
+    #   frontier.robots.parse_robots from raw robots.txt bodies): full
+    #   longest-match precedence via the map-only broadcast fold gate;
+    # * compiled disallow table (host, disallow_prefix[, crawl_delay]):
+    #   drop candidates whose path starts with any disallowed prefix for
+    #   the host (broadcast anti-join) — exact when no Allow exceptions
+    #   exist (frontier.robots.compile_robots reports conflicts).
+    if "allow" in robots.columns:
+        from .robots import robots_gate
+
+        gated = robots_gate(pending, robots)
+    else:
+        c, rb = pending.alias("c"), F.broadcast(robots).alias("rb")
+        gated = c.join(
+            rb,
+            (F.col("c.host") == F.col("rb.host"))
+            & F.col("c.path").startswith(F.col("rb.disallow_prefix")),
+            "left_anti",
+        )
     gated = gated.localCheckpoint(eager=False)
 
     # politeness selection + deterministic global fetch order; robots
