@@ -86,6 +86,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(refined & set(knn)) / len(knn) >= 0.7
 
 
+def test_ann_ivf_refined_recall_at_sf01(spark):
+    """The sf0.1 recall pin (VERDICT r4 #5): the refined index's recall at
+    the 2,000-vector corpus, where nprobe·A covers a smaller cell fraction
+    than the deliberately generous sf0.001 fixture (A·nprobe/C ≈ 27% here
+    vs ~100% there — the documented fixed-absolute-knob scale trade).
+    Measured 0.74 (2026-08-21); bound 0.65 leaves testdata-regeneration
+    margin. Every returned pair must carry the exact brute-force cosine."""
+    sf01 = "/root/testdata/sf0.1"
+    import os
+
+    if not os.path.isdir(sf01):  # driver boxes always have it; be explicit
+        import pytest as _pytest
+
+        _pytest.skip("sf0.1 testdata not present")
+    knn = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ALL_QUERIES["knn_bruteforce"](spark, sf01).collect()
+    }
+    refined = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ALL_QUERIES["ann_ivf_refined"](spark, sf01).collect()
+    }
+    hits = set(knn) & set(refined)
+    assert len(hits) / len(knn) >= 0.65
+    for pair in hits:
+        assert refined[pair] == knn[pair], pair
+
+
 def test_shingle_dedup_catches_short_documents(spark, tmp_path):
     """Docs with < 3 tokens get their whole normalized text as the single
     shingle feature (both engines), so identical tweet-length docs are
