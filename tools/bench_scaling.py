@@ -45,6 +45,19 @@ sys.path.insert(0, REPO)
 LEVELS = [2, 8, 32]
 CYCLES = 3
 
+# Host-regime gate (the 2026-08-21 addendum discipline, now enforced in
+# code): a run is only admissible as 8→32 scaling EVIDENCE if the box's own
+# pure-multiprocessing 8→32 ceiling — no Spark, no JVM, the same regex-work
+# probe every run measures — clears this bar in the same window. Retained
+# runs measured 0.773/0.808; the two rejected re-runs measured 0.581 with
+# 45–62% steal+sys around the local[32] trials. A box that cannot scale
+# plain multiprocessing past 8 workers cannot evidence ANY job's 8→32 step
+# that day. The ceiling is probed BEFORE and AFTER the metered trials and
+# the gate uses the worse of the two; a rejected run's report is written to
+# BENCH/BASELINE.rejected.md (never over the retained evidence) and the
+# JSON summary carries host_regime.status = "rejected".
+HOST_CEILING_REJECT = 0.70
+
 
 def _session(cores: int):
     import bench
@@ -290,6 +303,11 @@ def main() -> None:
         with open(out) as f:
             return json.load(f)
 
+    # host-regime probe #1: the box's own 8→32 ceiling entering the run
+    host_8_pre = measure_host_ceiling(8)
+    host_32_pre = measure_host_ceiling(32)
+    host_eff_pre = (host_32_pre / host_8_pre) / 4
+
     if os.path.exists(os.path.join(scratch, "bootstrap.json")) and not os.path.isdir(
         wh_base
     ):
@@ -323,10 +341,13 @@ def main() -> None:
     ex_eff = (ex_2 / ex_8) / 4
     ex_eff_32 = (ex_8 / ex_32) / 4
 
-    # the box's own parallel capacity at the spec'd step, fresh this run
+    # host-regime probe #2: the box's own parallel capacity leaving the run;
+    # the admissibility gate takes the WORSE of the two probes
     host_8 = measure_host_ceiling(8)
     host_32 = measure_host_ceiling(32)
     host_eff_32 = (host_32 / host_8) / 4
+    host_eff_gate = min(host_eff_pre, host_eff_32)
+    regime_ok = host_eff_gate >= HOST_CEILING_REJECT
 
     best = {c: min(times[c]) for c in LEVELS}
     thru = {c: fetched / best[c] for c in LEVELS}
@@ -347,6 +368,13 @@ def main() -> None:
         "extract_stage_2_to_8_efficiency": round(ex_eff, 3),
         "extract_stage_8_to_32_efficiency": round(ex_eff_32, 3),
         "host_ceiling_8_to_32_efficiency": round(host_eff_32, 3),
+        "host_regime": {
+            "ceiling_pre": round(host_eff_pre, 3),
+            "ceiling_post": round(host_eff_32, 3),
+            "gate": round(host_eff_gate, 3),
+            "threshold": HOST_CEILING_REJECT,
+            "status": "ok" if regime_ok else "rejected",
+        },
         "stages_8": {k: round(v, 2) for k, v in stages_8.items()},
         "stages_32": {k: round(v, 2) for k, v in stages_32.items()},
         "bootstrap_sec": round(t_bootstrap, 2),
@@ -361,7 +389,22 @@ def main() -> None:
             continue
         eff = (t8 / t32) / 4 if t32 > 0 else float("nan")
         stage_rows.append((st, t8, t32, eff))
-    with open(os.path.join(REPO, "BENCH", "STAGES.md"), "w") as f_out:
+    reject_banner = (
+        ""
+        if regime_ok
+        else (
+            "> **REJECTED AS 8→32 SCALING EVIDENCE** — the box's own\n"
+            f"> pure-multiprocessing 8→32 ceiling measured {host_eff_gate:.3f}\n"
+            f"> (pre {host_eff_pre:.3f} / post {host_eff_32:.3f}) against the\n"
+            f"> admissibility threshold {HOST_CEILING_REJECT}. A box that cannot\n"
+            "> scale plain multiprocessing past 8 workers cannot evidence any\n"
+            "> job's 8→32 step in this window; re-run in a calmer window.\n"
+            "> The retained evidence files were NOT overwritten.\n\n"
+        )
+    )
+    stages_name = "STAGES.md" if regime_ok else "STAGES.rejected.md"
+    with open(os.path.join(REPO, "BENCH", stages_name), "w") as f_out:
+        f_out.write(reject_banner)
         f_out.write(
             "# Crawl round — per-stage 8→32 decomposition (same run as "
             "BENCH/BASELINE.md)\n\n"
@@ -412,9 +455,15 @@ real cluster.
     spec_met = "MET" if eff_spec >= 0.8 else "NOT met on this box"
     proxy_met = "MET" if eff_proxy >= 0.8 else "NOT met"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f_out:
+    baseline_name = "BASELINE.md" if regime_ok else "BASELINE.rejected.md"
+    with open(os.path.join(REPO, "BENCH", baseline_name), "w") as f_out:
+        f_out.write(reject_banner)
         f_out.write(
             f"""# BENCH/BASELINE — crawl throughput scaling evidence
+
+Host regime this run: pure-multiprocessing 8→32 ceiling
+pre {host_eff_pre:.3f} / post {host_eff_32:.3f} (gate {host_eff_gate:.3f},
+admissibility threshold {HOST_CEILING_REJECT} — {"ok" if regime_ok else "REJECTED"}).
 
 Job: one politeness-budgeted frontier round (schedule → broadcast
 fetch-join → extract(text + CANONICAL links, one fused Arrow pandas UDF —
@@ -515,7 +564,18 @@ Engineering that moved the full-round number (rounds 2–3):
    cogroup is checkpointed before its definite/maybe split (one bitset
    crossing per round, not two); and the fetch hit path coalesces to one
    task per slot before the extract UDF (same treatment the link path
-   already had).
+   already had);
+8. (round 5) the scheduled-but-absent (miss) split is routed through the
+   schedule — corpus urls ∩ schedule via a broadcast semi-join on the
+   column-pruned url scan, then a broadcast anti-join against that
+   schedule-bounded set. The direct left_anti had planned a sort-merge
+   join shuffling EVERY corpus url (the round's biggest shuffle at
+   production frontier sizes); measured fetch-stage lap 5.2 → 3.4 s and
+   full round 8.3 → 6.1 s on the 250k bench corpus at local[32]. Also
+   bootstrap's canonical-collision probe moved AFTER the pages_canon
+   write (probing the written table is a JVM-only pruned scan), so the
+   optimistic path pays one corpus-wide canonicalize-UDF pass, not two
+   (probe stage 9.1 → 1.7 s).
 
 Remaining gap to 1.0 is the fixed per-round floor (scheduler windows,
 broadcast build, ~7 job launches) plus the sandbox's single shared local
