@@ -628,6 +628,10 @@ Reference baseline for context (BASELINE.md): the reference crawler is
 politeness-bound at ≤ 50 tweets/s on a single process; this engine's round
 throughput above is the same fetch+dedup+extract pipeline, distributed,
 with the html bytes never shuffled (the schedule broadcasts to the data).
+
+The per-round BENCH corpus (bench.py's 250k-page corpus — the number the
+driver records each round) has its own 3-level table, direct serial-floor
+measurement, and decomposition in BENCH/BENCH_CORPUS.md.
 """
         )
     print(json.dumps(summary))
