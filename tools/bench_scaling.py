@@ -148,6 +148,12 @@ def capture_stage_timings(cores: int, wh_base: str, cfg, trials: int = 2) -> dic
             with contextlib.redirect_stdout(buf):
                 run_round(spark, Warehouse(trial), cfg, 1)
             shutil.rmtree(trial, ignore_errors=True)
+            # both timing trials share ONE JVM (unlike the one-round-per-
+            # process metered trials): nudge the driver GC so trial 1's
+            # weak-ref-cleaned state (localCheckpoint blocks, broadcasts)
+            # is actually freed before trial 2's page-row scans allocate —
+            # observed OOM at local[32] on the 600k corpus without this
+            spark._jvm.System.gc()
             for m in _re.finditer(
                 r"\[timing round 1\] ([^:]+): ([0-9.]+)s", buf.getvalue()
             ):
@@ -341,9 +347,20 @@ def main() -> None:
             assert fetched is None or fetched == r["fetched"], "nondeterministic round"
             fetched = r["fetched"]
 
-    # per-stage decomposition of the spec'd 8→32 step (written to STAGES.md)
-    stages_8 = run_step("stages", "stages_8", cores=8, wh=wh_base)
-    stages_32 = run_step("stages", "stages_32", cores=32, wh=wh_base)
+    # per-stage decomposition of the spec'd 8→32 step (written to STAGES.md).
+    # Supporting evidence, not the headline: a crashed stages child (e.g. an
+    # OOM in a bad host window) degrades to an empty decomposition instead
+    # of losing the whole run's metered trials.
+    def _try_step(step: str, key: str, **kw) -> dict:
+        try:
+            return run_step(step, key, **kw)
+        except subprocess.CalledProcessError as e:
+            print(f"WARN: step {key} failed ({e}); continuing without it",
+                  file=sys.stderr)
+            return {}
+
+    stages_8 = _try_step("stages", "stages_8", cores=8, wh=wh_base)
+    stages_32 = _try_step("stages", "stages_32", cores=32, wh=wh_base)
 
     # compute-path isolation at both steps
     ex_2 = run_step("extract", "extract_2", cores=2, corpus=corpus)["sec"]
