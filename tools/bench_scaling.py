@@ -58,6 +58,14 @@ CYCLES = 3
 # JSON summary carries host_regime.status = "rejected".
 HOST_CEILING_REJECT = 0.70
 
+# Second admissibility criterion: per-trial steal+sys%. The ceiling probes
+# bracket the run, but a resumed run can reuse trials metered in an earlier
+# (worse) window, and a multi-hour run can cross regimes between probes —
+# so the trials themselves must also testify. If the BEST (lowest-noise)
+# trial at any level still carried more than this much steal+sys, no trial
+# at that level saw an admissible window and the run is rejected.
+TRIAL_NOISE_REJECT_PCT = 35.0
+
 
 def _session(cores: int):
     import bench
@@ -378,7 +386,11 @@ def main() -> None:
     host_32 = measure_host_ceiling(32)
     host_eff_32 = (host_32 / host_8) / 4
     host_eff_gate = min(host_eff_pre, host_eff_32)
-    regime_ok = host_eff_gate >= HOST_CEILING_REJECT
+    worst_level_noise = max(min(noise[c]) for c in LEVELS)
+    regime_ok = (
+        host_eff_gate >= HOST_CEILING_REJECT
+        and worst_level_noise <= TRIAL_NOISE_REJECT_PCT
+    )
 
     best = {c: min(times[c]) for c in LEVELS}
     thru = {c: fetched / best[c] for c in LEVELS}
@@ -404,6 +416,8 @@ def main() -> None:
             "ceiling_post": round(host_eff_32, 3),
             "gate": round(host_eff_gate, 3),
             "threshold": HOST_CEILING_REJECT,
+            "worst_level_best_trial_noise_pct": round(worst_level_noise, 1),
+            "trial_noise_threshold_pct": TRIAL_NOISE_REJECT_PCT,
             "status": "ok" if regime_ok else "rejected",
         },
         "stages_8": {k: round(v, 2) for k, v in stages_8.items()},
@@ -427,10 +441,11 @@ def main() -> None:
             "> **REJECTED AS 8→32 SCALING EVIDENCE** — the box's own\n"
             f"> pure-multiprocessing 8→32 ceiling measured {host_eff_gate:.3f}\n"
             f"> (pre {host_eff_pre:.3f} / post {host_eff_32:.3f}) against the\n"
-            f"> admissibility threshold {HOST_CEILING_REJECT}. A box that cannot\n"
-            "> scale plain multiprocessing past 8 workers cannot evidence any\n"
-            "> job's 8→32 step in this window; re-run in a calmer window.\n"
-            "> The retained evidence files were NOT overwritten.\n\n"
+            f"> admissibility threshold {HOST_CEILING_REJECT}, and/or the best\n"
+            f"> trial at some level still carried {worst_level_noise:.1f}%\n"
+            f"> steal+sys (limit {TRIAL_NOISE_REJECT_PCT}%). A box in that state\n"
+            "> cannot evidence any job's 8→32 step in this window; re-run in a\n"
+            "> calmer window. The retained evidence files were NOT overwritten.\n\n"
         )
     )
     stages_name = "STAGES.md" if regime_ok else "STAGES.rejected.md"
