@@ -486,10 +486,14 @@ def run_round(spark: SparkSession, wh: Warehouse, cfg: CrawlConfig, rnd: int) ->
         # the old url-keyed agg's 4 shuffles of deduped links. On
         # duplicate-heavy production rounds a hot url's copies all land in
         # one bucket partition; if that skew ever binds, a map-side
-        # pre-collapse (partial distinct on the grouping keys before the
-        # repartition) is the candidate fix — benchmark before adopting, the
-        # bench corpora (≤4 links/page, few dups) measured the single-shuffle
-        # form faster.
+        # pre-collapse (per-partition dedup on the grouping keys before the
+        # repartition — a mapInPandas/mapPartitions pass, since a DataFrame
+        # partial-distinct cannot be forced without its own shuffle) is the
+        # candidate fix. Benchmark before adopting: the measured r4 A/B that
+        # chose this form compared single-shuffle vs the 4-shuffle url-keyed
+        # agg (12.1 → 10.5 s @8 on the 250k corpus), not vs a pre-collapse,
+        # and the bench corpora (≤4 links/page, few duplicate links) cannot
+        # surface the duplicate-heavy regime where a pre-collapse pays.
         links = (
             fetched_log.filter(F.col("status") == "ok")
             .select(
