@@ -88,6 +88,23 @@ def test_multimember_gzip(spark, tmp_path):
     assert rec.filter("rec_type = 'response' and not malformed").count() == 2
 
 
+def test_write_read_roundtrip(spark, tmp_path):
+    """write_warc → read_warc is byte-exact on (url, warc_ts, html)."""
+    from twittercrawler_spark.sources.warc import write_warc
+
+    src = synthesize_warc(str(tmp_path / "src.warc"), n_records=9, seed=8)
+    pages = warc_pages(read_warc(spark, src)).repartition(3)
+    out = str(tmp_path / "out")
+    stats = write_warc(pages, out).collect()
+    assert sum(r.n_records for r in stats) == 9
+    back = warc_pages(read_warc(spark, f"{out}/seg-*"))
+    want = {
+        (r.url, r.warc_ts, bytes(r.html)) for r in pages.collect()
+    }
+    got = {(r.url, r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert got == want
+
+
 def test_warc_feeds_crawl_end_to_end(spark, tmp_path):
     """WARC → pages table → bootstrap → fetch round: the fetched text is the
     byte-identical extraction of the WARC response bodies."""

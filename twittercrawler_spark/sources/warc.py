@@ -207,6 +207,63 @@ def warc_stats(records: DataFrame) -> DataFrame:
     )
 
 
+def write_warc(
+    pages: DataFrame, out_dir: str, gzipped: bool = True
+) -> DataFrame:
+    """Pages-shaped rows (url, warc_ts, html) → WARC segment files, one
+    segment per partition (the inverse of :func:`read_warc`; together they
+    close the archive round-trip, byte-exact on the html payload).
+
+    Scale shape: map-only — each task streams its partition into one
+    segment file named by partition id (deterministic for a deterministic
+    partitioning), no shuffle, no driver collection. Returns the per-segment
+    stats frame ((file, n_records)) materialized by the write action.
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzipped else ".warc"
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"seg-{pid:05d}{ext}"
+        buf = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                body = bytes(html) if html is not None else b""
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(body)
+                    + body
+                )
+                ts_s = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                head = (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:uuid:{pid}-{n}>\r\n".encode()
+                    + f"WARC-Target-URI: {url}\r\n".encode()
+                    + f"WARC-Date: {ts_s}\r\n".encode()
+                    + b"Content-Length: %d\r\n\r\n" % len(http)
+                )
+                buf.write(head + http + _CRLF2)
+                n += 1
+        if n > 0:
+            data = buf.getvalue()
+            if gzipped:
+                data = gzip.compress(data, 6)
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n]})
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _write, "file string, n_records long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic WARC writer (tests + rows-only driver query): same
 # discipline as sources/corpus.py — seed-derived content, no wall clock, no
